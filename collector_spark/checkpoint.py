@@ -1,0 +1,80 @@
+"""Checkpoint / resume — the reference's state-file semantics on a
+manifest table.
+
+Reference (internal/app/manager/manager.go:171-235, internal/cli/
+state.go:19-37): state is carried through the pipeline and persisted only
+AFTER all outputs succeeded — at-least-once overall; a crash between
+output-write and state-save replays the batch.
+
+Here: a JSON-lines manifest under ``<dir>/<instance_id>.manifest.jsonl``
+records one committed batch per line:
+    {batch_id, source_state, per_stage_counts, per_sink_counts, committed_at}
+Commit order is sinks-first, manifest-last (same as the reference).
+Replayed batches are idempotent because every sink writes to a
+deterministic ``batch_id=N`` location with overwrite — so the observable
+output converges to exactly-once even though the control flow is
+at-least-once.
+
+JSON-lines (not parquet) because the manifest is tiny, append-only, and
+driver-side; on a cluster this would be an Iceberg/Delta table or the
+Structured Streaming checkpoint dir — the interface below is the swap
+point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class BatchRecord:
+    batch_id: int
+    source_state: dict = field(default_factory=dict)
+    per_stage_counts: dict = field(default_factory=dict)
+    per_sink_counts: dict = field(default_factory=dict)
+    committed_at: float = 0.0
+
+
+class Manifest:
+    def __init__(self, state_dir: str, instance_id: str):
+        os.makedirs(state_dir, exist_ok=True)
+        self.path = os.path.join(state_dir, f"{instance_id}.manifest.jsonl")
+
+    def load(self) -> list[BatchRecord]:
+        if not os.path.exists(self.path):
+            return []
+        out = []
+        with open(self.path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    out.append(BatchRecord(**json.loads(line)))
+        return out
+
+    def last_state(self) -> dict:
+        """Resume token: source state of the last committed batch
+        (reference LoadState, internal/cli/state.go:28-37)."""
+        records = self.load()
+        return records[-1].source_state if records else {}
+
+    def last_batch_id(self) -> int:
+        records = self.load()
+        return records[-1].batch_id if records else -1
+
+    def committed(self, batch_id: int) -> bool:
+        return any(r.batch_id == batch_id for r in self.load())
+
+    def commit(self, record: BatchRecord) -> None:
+        """THE commit point (reference saveState, manager.go:218-235).
+        Atomic via write-to-temp + rename of the whole file."""
+        record.committed_at = time.time()
+        records = [r for r in self.load() if r.batch_id != record.batch_id]
+        records.append(record)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            for r in records:
+                f.write(json.dumps(r.__dict__, separators=(",", ":")) + "\n")
+        os.replace(tmp, self.path)

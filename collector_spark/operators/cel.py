@@ -1,0 +1,819 @@
+"""CEL-subset filter — the reference's `cel` processor re-expressed as a
+Catalyst expression.
+
+Reference semantics (internal/processor/cel/cel.go:50-88, engine.go:13-106):
+- each rule is a CEL expression over ``event`` = the parsed JSON line;
+- rules are OR-composed; rule errors count as non-match;
+- ``action: accept`` keeps matching rows, ``reject`` keeps non-matching;
+- non-JSON / empty lines are dropped BEFORE evaluation;
+- invalid rules are rejected at config (plan-build) time.
+
+The reference re-parses and re-checks each CEL program per line per rule
+(engine.go:37-70) — an anti-pattern we deliberately do not replicate: here
+every rule is compiled ONCE, at plan build, into a native Spark Column, so
+filtering runs JVM-side inside whole-stage codegen with predicate pushdown;
+no Python is involved per row.
+
+Supported CEL subset (everything the reference's tests exercise, plus
+common string predicates): ``== != < <= > >= && || !``, parentheses,
+``has(event.a.b)``, ``event.list.exists(x, <expr over x>)``,
+``in [..]`` literals, ``.startsWith/.endsWith/.contains(str)``,
+``.size()``, int/float/string/bool/null literals. Anything else raises
+``CelSyntaxError`` at build time (mirrors validateRule,
+engine.go:88-106).
+
+Three backends off one AST:
+- ``to_column``     — Spark Column over a JSON-string column (schema-free
+                      lines, ``get_json_object``) or over real columns;
+- ``to_sql``        — equivalent DuckDB SQL (used by the correctness gate);
+- ``eval_python``   — pure-Python oracle evaluation (pytest truth tables).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class CelSyntaxError(ValueError):
+    """Invalid rule — rejected at plan-build time."""
+
+
+class CelEvalError(ValueError):
+    """Runtime evaluation error — counts as non-match (engine.go:20-29)."""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<num>\d+\.\d+|\d+)
+  | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<op>==|!=|<=|>=|&&|\|\||[<>!().,\[\]])
+  | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    tokens: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if m is None:
+            raise CelSyntaxError(f"unexpected character at {pos}: {src[pos:pos+10]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        tokens.append((kind, m.group()))
+    tokens.append(("eof", ""))
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Lit:
+    value: object  # int | float | str | bool | None
+
+
+@dataclass
+class Path:
+    parts: tuple[str, ...]  # ('event', 'data', 'errors') or ('x',) for vars
+
+
+@dataclass
+class Cmp:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class And:
+    left: object
+    right: object
+
+
+@dataclass
+class Or:
+    left: object
+    right: object
+
+
+@dataclass
+class Not:
+    operand: object
+
+
+@dataclass
+class Has:
+    path: Path
+
+
+@dataclass
+class Exists:
+    path: Path
+    var: str
+    body: object
+
+
+@dataclass
+class StrFn:
+    fn: str  # startsWith | endsWith | contains | size
+    path: Path
+    arg: object | None
+
+
+@dataclass
+class InList:
+    operand: object
+    items: list
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.tokens = _tokenize(src)
+        self.i = 0
+
+    def peek(self):
+        return self.tokens[self.i]
+
+    def next(self):
+        t = self.tokens[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, value: str):
+        kind, v = self.next()
+        if v != value:
+            raise CelSyntaxError(f"expected {value!r}, got {v!r}")
+
+    def parse(self):
+        node = self.parse_or()
+        if self.peek()[0] != "eof":
+            raise CelSyntaxError(f"trailing input at token {self.peek()[1]!r}")
+        return node
+
+    def parse_or(self):
+        node = self.parse_and()
+        while self.peek()[1] == "||":
+            self.next()
+            node = Or(node, self.parse_and())
+        return node
+
+    def parse_and(self):
+        node = self.parse_cmp()
+        while self.peek()[1] == "&&":
+            self.next()
+            node = And(node, self.parse_cmp())
+        return node
+
+    def parse_cmp(self):
+        node = self.parse_unary()
+        kind, v = self.peek()
+        if v in ("==", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return Cmp(v, node, self.parse_unary())
+        if kind == "ident" and v == "in":
+            self.next()
+            return InList(node, self.parse_list_literal())
+        return node
+
+    def parse_list_literal(self) -> list:
+        self.expect("[")
+        items = []
+        while self.peek()[1] != "]":
+            node = self.parse_unary()
+            if not isinstance(node, Lit):
+                raise CelSyntaxError("only literal lists supported after 'in'")
+            items.append(node.value)
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect("]")
+        return items
+
+    def parse_unary(self):
+        kind, v = self.peek()
+        if v == "!":
+            self.next()
+            return Not(self.parse_unary())
+        if v == "(":
+            self.next()
+            node = self.parse_or()
+            self.expect(")")
+            return node
+        if kind == "num":
+            self.next()
+            return Lit(float(v) if "." in v else int(v))
+        if kind == "str":
+            self.next()
+            body = v[1:-1]
+            # unescape \" \' \\ \n \t
+            body = (
+                body.replace("\\\\", "\x00")
+                .replace('\\"', '"')
+                .replace("\\'", "'")
+                .replace("\\n", "\n")
+                .replace("\\t", "\t")
+                .replace("\x00", "\\")
+            )
+            return Lit(body)
+        if kind == "ident":
+            if v == "true":
+                self.next()
+                return Lit(True)
+            if v == "false":
+                self.next()
+                return Lit(False)
+            if v == "null":
+                self.next()
+                return Lit(None)
+            if v == "has":
+                self.next()
+                self.expect("(")
+                inner = self.parse_path()
+                self.expect(")")
+                return Has(inner)
+            return self.parse_path_or_call()
+        raise CelSyntaxError(f"unexpected token {v!r}")
+
+    def parse_path(self) -> Path:
+        kind, v = self.next()
+        if kind != "ident":
+            raise CelSyntaxError(f"expected identifier, got {v!r}")
+        parts = [v]
+        while self.peek()[1] == ".":
+            self.next()
+            kind, v = self.next()
+            if kind != "ident":
+                raise CelSyntaxError(f"expected identifier after '.', got {v!r}")
+            parts.append(v)
+        return Path(tuple(parts))
+
+    def parse_path_or_call(self):
+        path = self.parse_path()
+        # method call on the path: last part may be exists/startsWith/...
+        if self.peek()[1] == "(":
+            method = path.parts[-1]
+            base = Path(path.parts[:-1])
+            if not base.parts:
+                raise CelSyntaxError(f"unknown function {method!r}")
+            self.next()  # (
+            if method == "exists":
+                kind, var = self.next()
+                if kind != "ident":
+                    raise CelSyntaxError("exists() requires a variable name")
+                self.expect(",")
+                body = self.parse_or()
+                self.expect(")")
+                return Exists(base, var, body)
+            if method in ("startsWith", "endsWith", "contains"):
+                arg = self.parse_unary()
+                if not isinstance(arg, Lit) or not isinstance(arg.value, str):
+                    raise CelSyntaxError(f"{method}() requires a string literal")
+                self.expect(")")
+                return StrFn(method, base, arg)
+            if method == "size":
+                self.expect(")")
+                return StrFn("size", base, None)
+            raise CelSyntaxError(f"unsupported method {method!r}")
+        return path
+
+
+def parse_rule(rule: str):
+    """Parse a CEL-subset rule → AST. Raises CelSyntaxError (config-time
+    rejection, mirroring validateRule engine.go:88-106)."""
+    return _Parser(rule).parse()
+
+
+# ---------------------------------------------------------------------------
+# Backend 1: Spark Column
+# ---------------------------------------------------------------------------
+
+
+def _json_path(parts: tuple[str, ...]) -> str:
+    return "$." + ".".join(parts)
+
+
+class ColumnCompiler:
+    """Compile an AST to a Spark Column.
+
+    mode='json':    paths under ``event.`` read from a JSON string column
+                    via get_json_object (schema-free lines, reference model).
+    mode='columns': paths under ``event.`` are real DataFrame columns
+                    (structured payloads — fully JVM-native, no JSON parse).
+    """
+
+    def __init__(self, mode: str = "json", value_col: str = "value", root: str = "event"):
+        if mode not in ("json", "columns"):
+            raise ValueError(mode)
+        self.mode = mode
+        self.value_col = value_col
+        self.root = root
+
+    # -- helpers ------------------------------------------------------------
+
+    def _raw_path(self, path: Path) -> Column:
+        if path.parts[0] != self.root:
+            raise CelSyntaxError(f"unknown identifier {path.parts[0]!r}")
+        rel = path.parts[1:]
+        if not rel:
+            raise CelSyntaxError("bare 'event' is not addressable")
+        if self.mode == "json":
+            return F.get_json_object(F.col(self.value_col), _json_path(rel))
+        col = F.col(rel[0])
+        for p in rel[1:]:
+            col = col.getField(p)
+        return col
+
+    def _typed_path(self, path: Path, like) -> Column:
+        """Path column cast per the literal it is compared against."""
+        col = self._raw_path(path)
+        if self.mode == "columns":
+            return col
+        if isinstance(like, bool):
+            return col == F.lit("true")
+        if isinstance(like, (int, float)):
+            return col.cast("double")
+        return col
+
+    def _operand(self, node, like=None) -> Column:
+        if isinstance(node, Lit):
+            if isinstance(node.value, bool) and self.mode == "json":
+                return F.lit(node.value)
+            return F.lit(node.value)
+        if isinstance(node, Path):
+            return self._typed_path(node, like)
+        if isinstance(node, StrFn) and node.fn == "size":
+            return self._strfn(node)
+        raise CelSyntaxError(f"unsupported operand {node!r}")
+
+    def _lit_of(self, node):
+        return node.value if isinstance(node, Lit) else None
+
+    # -- node dispatch --------------------------------------------------------
+
+    def compile(self, node) -> Column:
+        if isinstance(node, Lit):
+            if isinstance(node.value, bool):
+                return F.lit(node.value)
+            raise CelSyntaxError("non-boolean rule result")
+        if isinstance(node, Or):
+            return self.compile(node.left) | self.compile(node.right)
+        if isinstance(node, And):
+            return self.compile(node.left) & self.compile(node.right)
+        if isinstance(node, Not):
+            return ~self.compile(node.operand)
+        if isinstance(node, Cmp):
+            like = self._lit_of(node.right) or self._lit_of(node.left)
+            left = self._operand(node.left, like)
+            right = self._operand(node.right, like)
+            if isinstance(node.left, Lit) and isinstance(node.right, Path):
+                right = self._typed_path(node.right, self._lit_of(node.left))
+            op = node.op
+            if isinstance(node.right, Lit) and isinstance(node.right.value, bool) and self.mode == "json":
+                # json mode: bool path compiled to (col == 'true'), compare to lit
+                left = self._typed_path(node.left, True) if isinstance(node.left, Path) else left
+            if op == "==":
+                return left == right
+            if op == "!=":
+                return left != right
+            if op == "<":
+                return left < right
+            if op == "<=":
+                return left <= right
+            if op == ">":
+                return left > right
+            if op == ">=":
+                return left >= right
+        if isinstance(node, Has):
+            return self._raw_path(node.path).isNotNull()
+        if isinstance(node, InList):
+            like = node.items[0] if node.items else None
+            return self._operand(node.operand, like).isin(node.items)
+        if isinstance(node, StrFn):
+            if node.fn == "size":
+                raise CelSyntaxError("size() must appear inside a comparison")
+            return self._strfn(node)
+        if isinstance(node, Exists):
+            return self._exists(node)
+        if isinstance(node, Path):
+            # bare boolean path
+            return self._typed_path(node, True)
+        raise CelSyntaxError(f"cannot compile node {node!r}")
+
+    def _strfn(self, node: StrFn) -> Column:
+        col = self._raw_path(node.path)
+        if node.fn == "startsWith":
+            return col.startswith(node.arg.value)
+        if node.fn == "endsWith":
+            return col.endswith(node.arg.value)
+        if node.fn == "contains":
+            return col.contains(node.arg.value)
+        if node.fn == "size":
+            return F.length(col)
+        raise CelSyntaxError(node.fn)
+
+    def _exists(self, node: Exists) -> Column:
+        # element type inferred from literals in the body
+        elem_type = "string"
+        for lit in _body_literals(node.body):
+            if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+                elem_type = "double"
+        if self.mode == "json":
+            arr = F.from_json(
+                self._raw_path(node.path), f"array<{elem_type}>"
+            )
+        else:
+            arr = self._raw_path(node.path)
+        var = node.var
+
+        def body_fn(x: Column) -> Column:
+            return _compile_lambda_body(node.body, var, x, self)
+
+        return F.coalesce(F.exists(arr, body_fn), F.lit(False))
+
+
+def _body_literals(node):
+    if isinstance(node, Lit):
+        yield node.value
+    for attr in ("left", "right", "operand", "body"):
+        child = getattr(node, attr, None)
+        if child is not None and not isinstance(child, (str, tuple)):
+            yield from _body_literals(child)
+
+
+def _compile_lambda_body(node, var: str, x: Column, outer: ColumnCompiler) -> Column:
+    """Compile an exists() body where ``var`` is bound to element x."""
+    if isinstance(node, Cmp):
+        def side(n):
+            if isinstance(n, Path) and n.parts == (var,):
+                return x
+            if isinstance(n, Lit):
+                return F.lit(n.value)
+            raise CelSyntaxError("exists() body must compare the bound variable to a literal")
+        left, right = side(node.left), side(node.right)
+        return {
+            "==": left == right,
+            "!=": left != right,
+            "<": left < right,
+            "<=": left <= right,
+            ">": left > right,
+            ">=": left >= right,
+        }[node.op]
+    if isinstance(node, Or):
+        return _compile_lambda_body(node.left, var, x, outer) | _compile_lambda_body(
+            node.right, var, x, outer
+        )
+    if isinstance(node, And):
+        return _compile_lambda_body(node.left, var, x, outer) & _compile_lambda_body(
+            node.right, var, x, outer
+        )
+    if isinstance(node, StrFn) and node.path.parts == (var,):
+        if node.fn == "startsWith":
+            return x.startswith(node.arg.value)
+        if node.fn == "endsWith":
+            return x.endswith(node.arg.value)
+        if node.fn == "contains":
+            return x.contains(node.arg.value)
+    raise CelSyntaxError("unsupported exists() body")
+
+
+# ---------------------------------------------------------------------------
+# Backend 2: DuckDB SQL (oracle)
+# ---------------------------------------------------------------------------
+
+
+class SqlCompiler:
+    """Compile the same AST to a DuckDB boolean SQL expression, for the
+    driver's side-by-side correctness gate."""
+
+    def __init__(self, mode: str = "json", value_col: str = "value", root: str = "event"):
+        self.mode = mode
+        self.value_col = value_col
+        self.root = root
+
+    def _raw_path(self, path: Path) -> str:
+        rel = path.parts[1:]
+        if path.parts[0] != self.root or not rel:
+            raise CelSyntaxError(f"bad path {path.parts}")
+        if self.mode == "json":
+            return f"json_extract_string({self.value_col}, '$.{'.'.join(rel)}')"
+        return ".".join(rel)
+
+    def _typed_path(self, path: Path, like) -> str:
+        raw = self._raw_path(path)
+        if self.mode == "columns":
+            return raw
+        if isinstance(like, bool):
+            return f"({raw} = 'true')"
+        if isinstance(like, (int, float)):
+            return f"TRY_CAST({raw} AS DOUBLE)"
+        return raw
+
+    @staticmethod
+    def _lit(value) -> str:
+        if value is None:
+            return "NULL"
+        if isinstance(value, bool):
+            return "TRUE" if value else "FALSE"
+        if isinstance(value, (int, float)):
+            return repr(value)
+        escaped = str(value).replace("'", "''")
+        return f"'{escaped}'"
+
+    def compile(self, node) -> str:
+        if isinstance(node, Lit):
+            return self._lit(node.value)
+        if isinstance(node, Or):
+            return f"({self.compile(node.left)} OR {self.compile(node.right)})"
+        if isinstance(node, And):
+            return f"({self.compile(node.left)} AND {self.compile(node.right)})"
+        if isinstance(node, Not):
+            return f"(NOT COALESCE({self.compile(node.operand)}, FALSE))"
+        if isinstance(node, Cmp):
+            like = (
+                node.right.value
+                if isinstance(node.right, Lit)
+                else node.left.value
+                if isinstance(node.left, Lit)
+                else None
+            )
+            left = (
+                self._typed_path(node.left, like)
+                if isinstance(node.left, Path)
+                else self._operand_sql(node.left)
+            )
+            right = (
+                self._typed_path(node.right, like)
+                if isinstance(node.right, Path)
+                else self._operand_sql(node.right)
+            )
+            op = {"==": "=", "!=": "<>"}.get(node.op, node.op)
+            return f"({left} {op} {right})"
+        if isinstance(node, Has):
+            return f"({self._raw_path(node.path)} IS NOT NULL)"
+        if isinstance(node, InList):
+            items = ", ".join(self._lit(v) for v in node.items)
+            like = node.items[0] if node.items else None
+            return f"({self._typed_path(node.operand, like)} IN ({items}))"
+        if isinstance(node, StrFn):
+            raw = self._raw_path(node.path)
+            if node.fn == "startsWith":
+                return f"starts_with({raw}, {self._lit(node.arg.value)})"
+            if node.fn == "endsWith":
+                return f"ends_with({raw}, {self._lit(node.arg.value)})"
+            if node.fn == "contains":
+                return f"contains({raw}, {self._lit(node.arg.value)})"
+            if node.fn == "size":
+                return f"length({raw})"
+        if isinstance(node, Exists):
+            elem_type = "VARCHAR"
+            for lit in _body_literals(node.body):
+                if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+                    elem_type = "DOUBLE"
+            if self.mode == "json":
+                arr = (
+                    f"TRY_CAST(json_extract({self.value_col}, "
+                    f"'$.{'.'.join(node.path.parts[1:])}') AS {elem_type}[])"
+                )
+            else:
+                arr = self._raw_path(node.path)
+            body = self._sql_lambda_body(node.body, node.var)
+            return (
+                f"COALESCE(len(list_filter({arr}, {node.var} -> {body})) > 0, FALSE)"
+            )
+        if isinstance(node, Path):
+            return self._typed_path(node, True)
+        raise CelSyntaxError(f"cannot compile node {node!r}")
+
+    def _operand_sql(self, node) -> str:
+        if isinstance(node, Lit):
+            return self._lit(node.value)
+        if isinstance(node, StrFn) and node.fn == "size":
+            return f"length({self._raw_path(node.path)})"
+        raise CelSyntaxError(f"unsupported operand {node!r}")
+
+    def _sql_lambda_body(self, node, var: str) -> str:
+        if isinstance(node, Cmp):
+            def side(n):
+                if isinstance(n, Path) and n.parts == (var,):
+                    return var
+                if isinstance(n, Lit):
+                    return self._lit(n.value)
+                raise CelSyntaxError("unsupported exists() body")
+            op = {"==": "=", "!=": "<>"}.get(node.op, node.op)
+            return f"({side(node.left)} {op} {side(node.right)})"
+        if isinstance(node, Or):
+            return f"({self._sql_lambda_body(node.left, var)} OR {self._sql_lambda_body(node.right, var)})"
+        if isinstance(node, And):
+            return f"({self._sql_lambda_body(node.left, var)} AND {self._sql_lambda_body(node.right, var)})"
+        raise CelSyntaxError("unsupported exists() body")
+
+
+# ---------------------------------------------------------------------------
+# Backend 3: pure-Python oracle evaluation
+# ---------------------------------------------------------------------------
+
+
+def _py_resolve(event: dict, path: Path):
+    cur = event
+    for p in path.parts[1:]:
+        if isinstance(cur, dict) and p in cur:
+            cur = cur[p]
+        else:
+            raise CelEvalError(f"no such key: {'.'.join(path.parts)}")
+    return cur
+
+
+def eval_python(node, event: dict):
+    """CEL-like evaluation against a parsed JSON dict; raises CelEvalError
+    on type mismatches / missing keys (which the caller treats as
+    non-match, engine.go:20-29)."""
+    if isinstance(node, Lit):
+        return node.value
+    if isinstance(node, Path):
+        return _py_resolve(event, node)
+    if isinstance(node, Or):
+        try:
+            if eval_python(node.left, event) is True:
+                return True
+        except CelEvalError:
+            pass
+        return eval_python(node.right, event) is True
+    if isinstance(node, And):
+        return eval_python(node.left, event) is True and eval_python(node.right, event) is True
+    if isinstance(node, Not):
+        val = eval_python(node.operand, event)
+        if not isinstance(val, bool):
+            raise CelEvalError("! on non-bool")
+        return not val
+    if isinstance(node, Has):
+        try:
+            _py_resolve(event, node.path)
+            return True
+        except CelEvalError:
+            return False
+    if isinstance(node, Cmp):
+        left = eval_python(node.left, event)
+        right = eval_python(node.right, event)
+        _check_types(left, right)
+        return {
+            "==": lambda: left == right,
+            "!=": lambda: left != right,
+            "<": lambda: left < right,
+            "<=": lambda: left <= right,
+            ">": lambda: left > right,
+            ">=": lambda: left >= right,
+        }[node.op]()
+    if isinstance(node, InList):
+        val = eval_python(node.operand, event)
+        return val in node.items
+    if isinstance(node, StrFn):
+        val = _py_resolve(event, node.path)
+        if node.fn == "size":
+            return len(val)
+        if not isinstance(val, str):
+            raise CelEvalError(f"{node.fn} on non-string")
+        if node.fn == "startsWith":
+            return val.startswith(node.arg.value)
+        if node.fn == "endsWith":
+            return val.endswith(node.arg.value)
+        if node.fn == "contains":
+            return node.arg.value in val
+    if isinstance(node, Exists):
+        arr = _py_resolve(event, node.path)
+        if not isinstance(arr, list):
+            raise CelEvalError("exists() on non-list")
+        rebound = _rebind(node.body, node.var)
+        for item in arr:
+            try:
+                if eval_python(rebound, {**event, node.var: item}) is True:
+                    return True
+            except CelEvalError:
+                continue
+        return False
+    raise CelEvalError(f"cannot evaluate {node!r}")
+
+
+def _rebind(node, var: str):
+    """exists() bodies reference the bound var as a bare path; eval_python
+    resolves paths under the event root, so prefix nothing — paths of the
+    form (var,) resolve via the merged dict in eval_python above."""
+    if isinstance(node, Path) and node.parts[0] == var:
+        return Path(("event", var) + node.parts[1:])
+    if isinstance(node, (Cmp, And, Or)):
+        cls = type(node)
+        if isinstance(node, Cmp):
+            return Cmp(node.op, _rebind(node.left, var), _rebind(node.right, var))
+        return cls(_rebind(node.left, var), _rebind(node.right, var))
+    if isinstance(node, Not):
+        return Not(_rebind(node.operand, var))
+    return node
+
+
+def _check_types(left, right):
+    def cat(v):
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int, float)):
+            return "num"
+        if isinstance(v, str):
+            return "str"
+        if v is None:
+            return "null"
+        return "other"
+
+    if cat(left) != cat(right):
+        raise CelEvalError(f"type mismatch: {left!r} vs {right!r}")
+
+
+def rule_detection_python(line: str, rules: list) -> bool:
+    """Oracle mirror of ruleDetection (engine.go:13-34): OR over rules,
+    errors count as non-match."""
+    try:
+        event = json.loads(line)
+    except (ValueError, TypeError):
+        return False
+    if not isinstance(event, dict):
+        return False
+    for ast in rules:
+        try:
+            if eval_python(ast, event) is True:
+                return True
+        except CelEvalError:
+            continue
+    return False
+
+
+# ---------------------------------------------------------------------------
+# The operator
+# ---------------------------------------------------------------------------
+
+
+class CelFilter:
+    """The `cel` processor as a DataFrame transform.
+
+    config mirrors the reference (cel.go:14-17):
+        rules:  list of CEL-subset strings (OR-composed)
+        action: 'accept' (keep matches) | 'reject' (keep non-matches)
+    """
+
+    def __init__(
+        self,
+        rules: list[str],
+        action: str = "accept",
+        mode: str = "json",
+        value_col: str = "value",
+    ):
+        if action not in ("accept", "reject"):
+            raise ValueError(f"action must be accept|reject, got {action!r}")
+        if not rules:
+            raise ValueError("rules is required")
+        self.action = action
+        self.mode = mode
+        self.value_col = value_col
+        self.asts = [parse_rule(r) for r in rules]  # config-time validation
+        self._compiler = ColumnCompiler(mode=mode, value_col=value_col)
+
+    def predicate(self) -> Column:
+        """OR over all rules; eval errors → non-match handled by null
+        semantics + coalesce(False)."""
+        pred = None
+        for ast in self.asts:
+            col = F.coalesce(
+                self._compiler.compile(ast).cast("boolean"), F.lit(False)
+            )
+            pred = col if pred is None else (pred | col)
+        return pred
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if self.mode == "json":
+            # drop empty / non-JSON lines before evaluation (cel.go:56-70)
+            df = df.withColumn(self.value_col, F.trim(F.col(self.value_col)))
+            df = df.filter(
+                (F.length(self.value_col) > 0)
+                & F.try_parse_json(F.col(self.value_col)).isNotNull()
+            )
+        pred = self.predicate()
+        return df.filter(pred if self.action == "accept" else ~pred)
+
+    def sql_predicate(self) -> str:
+        """DuckDB boolean expression equivalent to predicate()."""
+        sql = SqlCompiler(mode=self.mode, value_col=self.value_col)
+        parts = [f"COALESCE({sql.compile(ast)}, FALSE)" for ast in self.asts]
+        joined = " OR ".join(parts)
+        return f"({joined})" if len(parts) > 1 else joined

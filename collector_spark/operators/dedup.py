@@ -1,0 +1,300 @@
+"""Deduplication — exact and near-duplicate detection at corpus scale.
+
+The reference has NO dedup (duplicates are an accepted failure mode of
+its at-least-once delivery, manager.go:229-231). These operators are the
+training-data-pipeline generalization the north rule calls for.
+
+Scale design notes (the part that matters at 100 TB):
+
+- exact dedup is a hash aggregation on the dedup key — one shuffle,
+  map-side combined. For long texts we shuffle md5(text) (16 bytes), not
+  the text itself.
+- MinHash/LSH: per-doc work (shingling, signatures) is embarrassingly
+  parallel in a pandas UDF over Arrow batches (numpy matrix min over an
+  affine hash family — no per-shingle Python loop). Candidate generation
+  explodes each doc into ``bands`` (band_id, band_hash) keys and
+  self-joins on them — the join keys are small and uniformly distributed
+  by construction (hashes), so the shuffle is skew-free regardless of
+  input skew. Verification (exact Jaccard / signature agreement) happens
+  only within buckets, i.e. on candidate pairs, never all-pairs.
+- SimHash: same shape — 64-bit fingerprint per doc, Hamming-ball
+  candidate generation via band exact-match (pigeonhole: d bits differ →
+  at least one of d+1 bands identical).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from collector_spark import oracle
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact key group.
+
+    Shuffles md5 of the concatenated key instead of the raw key when the
+    key includes long strings — 16 bytes per row on the wire.
+    """
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols]))
+    return (
+        df.withColumn("_k", key)
+        .groupBy("_k")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("_k")
+    )
+
+
+def exact_dup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Groups with >1 member: (representative id, dup_count)."""
+    return exact_dedup(df, key_cols, id_col).filter(F.col("dup_count") > 1)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def _make_minhash_udf(num_hashes: int, shingle_n: int, seed: int):
+    coeffs = np.array(oracle._minhash_coeffs(num_hashes, seed), dtype=np.object_)
+    a = coeffs[:, 0].astype(object)  # python ints: 61-bit math overflows int64
+    b = coeffs[:, 1].astype(object)
+    p = oracle._MERSENNE_P
+
+    def sig_one(text: str) -> list[int]:
+        shingles = oracle.word_shingles(text or "", shingle_n)
+        if not shingles:
+            return [0] * num_hashes
+        hs = np.array([oracle.shingle_hash(s) for s in shingles], dtype=object)
+        # (k, n) affine matrix, min over shingles — vectorized in numpy
+        m = (a[:, None] * hs[None, :] + b[:, None]) % p
+        return [int(x) for x in m.min(axis=1)]
+
+    def udf(s: pd.Series) -> pd.Series:
+        return s.map(sig_one)
+
+    return F.pandas_udf(udf, T.ArrayType(T.LongType()))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) — deterministic, matches
+    collector_spark.oracle.minhash_signature exactly."""
+    udf = _make_minhash_udf(num_hashes, shingle_n, seed)
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified by signature
+    agreement (estimated Jaccard >= threshold).
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
+    across bands.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("signature")[i * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.col("signature"), F.explode(band_arr).alias("b")
+    ).select(id_col, "signature", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.signature").alias("sig_a"),
+            F.col("r.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact verification)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word shingles for candidate pairs only (the
+    verify stage after LSH; never all-pairs). Shingle sets are computed
+    JVM-side with native array functions."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_sh = F.greatest(F.size(words) - (shingle_n - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i + 1, shingle_n)
+            ),
+        )
+    )
+    sh = df.select(F.col(id_col), shingles.alias("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = (
+        candidate_pairs.alias("p")
+        .join(a, F.col("p.id_a") == F.col(f"a.{id_col}"))
+        .join(b, F.col("p.id_b") == F.col(f"b.{id_col}"))
+    )
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
+    union = F.size(F.array_union("a.shingles", "b.shingles"))
+    return (
+        joined.select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_udf():
+    def one(text: str) -> int:
+        toks = (text or "").split()
+        h = oracle.simhash64(toks)
+        return h - (1 << 64) if h >= (1 << 63) else h  # to signed i64
+
+    def udf(s: pd.Series) -> pd.Series:
+        return s.map(one)
+
+    return F.pandas_udf(udf, T.LongType())
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash int64). Matches oracle.simhash64 (as signed i64)."""
+    return df.select(F.col(id_col), _simhash_udf()(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming.
+
+    Candidates: split the 64-bit fingerprint into (max_hamming+1) bands —
+    any pair within distance d agrees on ≥1 band (pigeonhole) — join on
+    (band_idx, band_value), then verify with bit_count(xor) JVM-side.
+    """
+    bands = max_hamming + 1
+    width = 64 // bands
+    fp = simhash_fingerprints(df, text_col, id_col)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bv"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = fp.select(id_col, "simhash", F.explode(band_arr).alias("b")).select(
+        id_col, "simhash", "b.band", "b.bv"
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("h_a"),
+            F.col("r.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,144 @@
+"""`kv` processor — key=value and CEF parsing as vectorized pandas UDFs.
+
+Reference: internal/processor/kv/kv.go:17-19,50-139 and kv/cef.go:23-143.
+The per-row algorithm lives in collector_spark.oracle (the shared oracle,
+so pytest equality vs the reference fixtures is by construction); this
+module only provides the Arrow-vectorized Spark plumbing.
+
+Output model: instead of the reference's re-serialized JSON line we emit a
+typed StructType — columnar, prunable, and exactly what the reference's
+JSON encodes (kv: map<string,string>; cef: 7 header fields + extensions
+map). ``as_json=True`` reproduces the reference's JSON-line output for
+byte-level parity tests. Parse failures yield NULL structs which the
+``apply`` step filters out (reference drops such lines, kv.go:66-79).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from collector_spark import oracle
+
+CEF_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.StringType()),
+        T.StructField("device_vendor", T.StringType()),
+        T.StructField("device_product", T.StringType()),
+        T.StructField("device_version", T.StringType()),
+        T.StructField("device_event_class_id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("severity", T.StringType()),
+        T.StructField("extensions", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+KV_SCHEMA = T.MapType(T.StringType(), T.StringType())
+
+
+def _parse_kv_series(s: pd.Series) -> pd.Series:
+    def one(line):
+        if line is None:
+            return None
+        line = line.strip()
+        if not line:
+            return None
+        try:
+            return oracle.parse_kv(line)
+        except oracle.ParseError:
+            return None
+
+    return s.map(one)
+
+
+_CEF_COLS = [f.name for f in CEF_SCHEMA.fields]
+_CEF_NULL_ROW = {c: None for c in _CEF_COLS}
+
+
+def _parse_cef_frame(s: pd.Series) -> pd.DataFrame:
+    """StructType pandas UDFs return a DataFrame (one column per field).
+    Unparseable rows become all-NULL structs; apply() filters them on the
+    non-nullable ``version`` field."""
+
+    def one(line):
+        if line is None:
+            return _CEF_NULL_ROW
+        line = line.strip()
+        if not line:
+            return _CEF_NULL_ROW
+        try:
+            return oracle.parse_cef(line)
+        except oracle.ParseError:
+            return _CEF_NULL_ROW
+
+    return pd.DataFrame([one(v) for v in s], columns=_CEF_COLS)
+
+
+kv_parse_udf = F.pandas_udf(_parse_kv_series, KV_SCHEMA)
+cef_parse_udf = F.pandas_udf(_parse_cef_frame, CEF_SCHEMA)
+
+
+def _kv_json_series(s: pd.Series) -> pd.Series:
+    def one(line):
+        if line is None:
+            return None
+        line = line.strip()
+        if not line:
+            return None
+        try:
+            return oracle.parse_kv_json(line)
+        except oracle.ParseError:
+            return None
+
+    return s.map(one)
+
+
+def _cef_json_series(s: pd.Series) -> pd.Series:
+    def one(line):
+        if line is None:
+            return None
+        line = line.strip()
+        if not line:
+            return None
+        try:
+            return oracle.parse_cef_json(line)
+        except oracle.ParseError:
+            return None
+
+    return s.map(one)
+
+
+kv_json_udf = F.pandas_udf(_kv_json_series, T.StringType())
+cef_json_udf = F.pandas_udf(_cef_json_series, T.StringType())
+
+
+class KvParser:
+    """kv processor: type='raw' (k=v pairs) or 'cef'.
+
+    apply() drops unparseable rows (reference logs + skips) and adds a
+    ``parsed`` struct/map column; with as_json=True it instead rewrites
+    ``value`` with the compact JSON the reference would emit.
+    """
+
+    def __init__(self, type: str = "raw", value_col: str = "value", as_json: bool = False):
+        if type not in ("raw", "cef"):
+            raise ValueError(f"kv type must be raw|cef, got {type!r}")
+        self.type = type
+        self.value_col = value_col
+        self.as_json = as_json
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        col = F.col(self.value_col)
+        if self.as_json:
+            udf = kv_json_udf if self.type == "raw" else cef_json_udf
+            out = df.withColumn(self.value_col, udf(col))
+            return out.filter(F.col(self.value_col).isNotNull())
+        if self.type == "raw":
+            out = df.withColumn("parsed", kv_parse_udf(col))
+            return out.filter(F.col("parsed").isNotNull())
+        out = df.withColumn("parsed", cef_parse_udf(col))
+        # all-NULL struct marks a parse failure (version is never null
+        # on success — it is validated as 'CEF:<v>' or an integer)
+        return out.filter(F.col("parsed.version").isNotNull())

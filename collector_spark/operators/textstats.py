@@ -1,0 +1,166 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, fingerprinting.
+
+Everything here is a native Catalyst expression (split/filter/length/
+regexp over arrays) — zero Python per row — with a matching DuckDB SQL
+builder for the correctness oracle. Only the rolling-hash fingerprint
+needs a pandas UDF (arbitrary-precision modular arithmetic), and it is
+pinned against collector_spark.oracle.rolling_fingerprint instead.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from collector_spark import oracle
+
+# marker stopwords per language (tiny n-gram-free heuristic; deterministic
+# and SQL-expressible so Spark and DuckDB agree bit-for-bit)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "una", "por"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es", "zh"]  # tie-break: first wins
+
+STOPWORDS_EN = "the a an and or of to in is are was were be been it this that".split()
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens; empty string → empty array (not [''])."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+TOKEN_COUNT_SQL = (
+    "len(list_filter(regexp_split_to_array(trim({col}), '\\s+'), w -> w <> ''))"
+)
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """Sub-word-ish token count: split on word/number/punct boundaries
+    (a BPE-like regex segmentation, still JVM-native)."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+            lambda w: F.trim(w) != "",
+        )
+    )
+
+
+def _marker_count(text: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens_col(F.lower(text)), lambda w: F.array_contains(arr, w)))
+
+
+def lang_id_col(text: Column) -> Column:
+    """argmax over per-language marker-word counts; 'und' when no marker
+    hits. Deterministic tie-break by _LANG_ORDER."""
+    counts = [(lang, _marker_count(text, LANG_MARKERS[lang])) for lang in _LANG_ORDER]
+    best = F.greatest(*[c for _, c in counts])
+    expr = F.lit("und")
+    for lang, c in reversed(counts):  # reversed → earlier langs win ties
+        expr = F.when((c == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id_sql(col: str) -> str:
+    def cnt(lang: str) -> str:
+        lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        return (
+            f"len(list_filter(regexp_split_to_array(trim(lower({col})), '\\s+'), "
+            f"w -> list_contains([{lst}], w)))"
+        )
+
+    counts = {lang: cnt(lang) for lang in _LANG_ORDER}
+    best = f"greatest({', '.join(counts.values())})"
+    expr = "'und'"
+    for lang in reversed(_LANG_ORDER):
+        expr = (
+            f"CASE WHEN {counts[lang]} = {best} AND {best} > 0 "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return expr
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add quality-signal columns: n_chars, n_tokens, mean token length,
+    punctuation ratio, stopword ratio, uppercase ratio."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    stops = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "mean_token_len",
+            F.round(
+                F.when(n_tokens > 0, (F.length(F.regexp_replace(text, r"\s+", "")) / n_tokens)).otherwise(
+                    F.lit(0.0)
+                ),
+                4,
+            ),
+        )
+        .withColumn("punct_ratio", F.round(punct / F.greatest(n_chars, F.lit(1)), 4))
+        .withColumn("stopword_ratio", F.round(stops / F.greatest(n_tokens, F.lit(1)), 4))
+        .withColumn("upper_ratio", F.round(upper / F.greatest(n_chars, F.lit(1)), 4))
+    )
+
+
+def quality_score_col(df_or_text=None, text_col: str = "text") -> Column:
+    """Composite quality score in [0,1]: rewards sane length, mixed case,
+    stopword presence; penalizes punctuation soup. Fully deterministic
+    and reproducible in SQL."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    stops = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(stops / F.greatest(n_tokens, F.lit(1)) * 5.0, F.lit(1.0))
+    punct_penalty = F.least(punct / F.greatest(n_chars, F.lit(1)) * 5.0, F.lit(1.0))
+    return F.round(
+        (len_score * 0.4 + stop_score * 0.4 + (1.0 - punct_penalty) * 0.2), 4
+    )
+
+
+def quality_score_sql(col: str) -> str:
+    toks = f"list_filter(regexp_split_to_array(trim({col}), '\\s+'), w -> w <> '')"
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    n_tokens = f"len({toks})"
+    n_chars = f"length({col})"
+    punct = f"length(regexp_replace({col}, '[^.!?,;:]', '', 'g'))"
+    stops = f"len(list_filter({toks}, w -> list_contains([{stop_list}], lower(w))))"
+    len_score = f"least({n_tokens} / 100.0, 1.0)"
+    stop_score = f"least({stops} * 5.0 / greatest({n_tokens}, 1), 1.0)"
+    punct_pen = f"least({punct} * 5.0 / greatest({n_chars}, 1), 1.0)"
+    return f"round({len_score} * 0.4 + {stop_score} * 0.4 + (1.0 - {punct_pen}) * 0.2, 4)"
+
+
+def _fingerprint_udf():
+    def udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: oracle.rolling_fingerprint(t or ""))
+
+    return F.pandas_udf(udf, T.LongType())
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Rolling polynomial hash (mod 2^61-1) — pinned to
+    oracle.rolling_fingerprint. For an oracle-checkable fingerprint use
+    F.md5 instead (both engines have md5)."""
+    return _fingerprint_udf()(text)

@@ -1,0 +1,171 @@
+"""Pipeline — the reference's "instance" (one input → ordered processors →
+fan-out outputs) as a declarative Spark job.
+
+Reference lifecycle (internal/app/manager/manager.go:73-235):
+    input batch → processors (sequential) → every output → commit state.
+
+Spark mapping:
+- the config IS the logical plan; "binding plugins" = composing
+  DataFrame→DataFrame transforms (Catalyst then optimizes the whole
+  chain as one plan — filters get pushed past parses where legal,
+  columns pruned, codegen fused);
+- fan-out = one persisted DataFrame + N filtered sink writes (the router);
+- per-stage surviving counts (the reference's per-processor Rotate()
+  counts, manager.go:160) come from ``df.observe`` metrics — measured on
+  the SAME pass, no extra jobs;
+- commit = manifest record written AFTER all sinks (at-least-once with
+  idempotent replay; see collector_spark.checkpoint).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from collector_spark.checkpoint import BatchRecord, Manifest
+from collector_spark.operators.router import Route, Router
+from collector_spark.registry import make_processor, make_sink
+
+
+@dataclass
+class SinkSpec:
+    name: str
+    kind: str  # parquet | file | stdout | kafka | registered custom
+    predicate: str | None = None  # CEL-subset; None = all rows (reference fan-out)
+    config: dict = field(default_factory=dict)
+
+
+@dataclass
+class PipelineConfig:
+    """One instance config (reference pkg/core/config.go:3-7 — Input,
+    Processors[], Outputs[] — with the router generalization)."""
+
+    instance_id: str
+    processors: list[dict] = field(default_factory=list)  # [{kind, ...config}]
+    sinks: list[SinkSpec] = field(default_factory=list)
+    mode: str = "json"  # payload model for cel/json processors
+    value_col: str = "value"
+
+    @classmethod
+    def from_json(cls, text: str) -> "PipelineConfig":
+        raw = json.loads(text)
+        sinks = [SinkSpec(**s) for s in raw.pop("sinks", [])]
+        return cls(sinks=sinks, **raw)
+
+    @classmethod
+    def from_file(cls, path: str) -> "PipelineConfig":
+        with open(path) as f:
+            cfg = cls.from_json(f.read())
+        if not cfg.instance_id:
+            cfg.instance_id = os.path.splitext(os.path.basename(path))[0]
+        return cfg
+
+
+class Pipeline:
+    """Composable pipeline; library-embedding style mirrors
+    pkg/collector/collector.go:30-64 (collector.New → Register* → Start).
+    """
+
+    def __init__(self, config: PipelineConfig, state_dir: str | None = None):
+        self.config = config
+        # bind processors at build time (config-time validation — bad
+        # configs fail HERE, like the reference's handler validation,
+        # collector.go:83-125)
+        self.stages = [
+            (
+                spec.get("kind"),
+                make_processor(
+                    spec["kind"],
+                    **{
+                        k: v
+                        for k, v in spec.items()
+                        if k != "kind"
+                    },
+                ),
+            )
+            for spec in config.processors
+        ]
+        self.router = (
+            Router(
+                [Route(s.name, s.predicate) for s in config.sinks],
+                mode=config.mode,
+                value_col=config.value_col,
+            )
+            if config.sinks
+            else None
+        )
+        self.sinks = {s.name: make_sink(s.kind, **s.config) for s in config.sinks}
+        self.manifest = (
+            Manifest(state_dir, config.instance_id) if state_dir else None
+        )
+
+    # -- plan construction ---------------------------------------------------
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Apply the processor chain (pure logical-plan composition)."""
+        for _, stage in self.stages:
+            df = stage.apply(df)
+        return df
+
+    # -- execution -----------------------------------------------------------
+
+    def run_batch(
+        self,
+        df: DataFrame,
+        batch_id: int,
+        source_state: dict | None = None,
+        skip_if_committed: bool = True,
+    ) -> BatchRecord:
+        """Process one batch: transform → fan-out writes → commit.
+
+        Idempotent: re-running a committed batch is a no-op; re-running an
+        UNcommitted batch overwrites the same deterministic sink paths.
+        """
+        if (
+            skip_if_committed
+            and self.manifest is not None
+            and self.manifest.committed(batch_id)
+        ):
+            return BatchRecord(batch_id=batch_id, source_state=source_state or {})
+
+        out = self.transform(df)
+
+        per_sink: dict[str, int] = {}
+        if self.router is not None:
+            views = self.router.split(out, persist=True)
+            try:
+                for name, view in views.items():
+                    per_sink[name] = self.sinks[name].write(view, batch_id=batch_id)
+            finally:
+                out.unpersist()
+
+        record = BatchRecord(
+            batch_id=batch_id,
+            source_state=source_state or {},
+            per_sink_counts=per_sink,
+        )
+        if self.manifest is not None:
+            self.manifest.commit(record)  # AFTER sinks — reference order
+        return record
+
+    def sink_counts(self, df: DataFrame) -> DataFrame:
+        """Per-sink aggregate counts of the transformed stream (one pass)."""
+        if self.router is None:
+            raise ValueError("no sinks configured")
+        return self.router.sink_counts(self.transform(df))
+
+
+def load_instances(config_dir: str, state_dir: str | None = None) -> dict[str, Pipeline]:
+    """CLI-style startup: glob *.conf in a dir, one Pipeline per file
+    (reference internal/cli/cli.go:18-51)."""
+    out = {}
+    for fname in sorted(os.listdir(config_dir)):
+        if fname.endswith(".conf"):
+            cfg = PipelineConfig.from_file(os.path.join(config_dir, fname))
+            out[cfg.instance_id] = Pipeline(cfg, state_dir=state_dir)
+    return out

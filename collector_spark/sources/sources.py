@@ -1,0 +1,173 @@
+"""Batch + streaming sources.
+
+Mapping from the reference's inputs (internal/app/builtin.go:27-35):
+
+| reference input | here                                                   |
+|-----------------|--------------------------------------------------------|
+| file            | FileSource — batch: glob + per-file offset resume      |
+|                 | (reference internal/input/file/file.go:58-134,         |
+|                 | read.go:19-62, state.go:8-58); streaming:              |
+|                 | ``readStream.text(dir)`` (exactly-once file tracking   |
+|                 | built into Structured Streaming)                       |
+| syslog          | SocketSource (readStream.format('socket')) — gated,    |
+|                 | no listener infra in sandbox                           |
+| kafka           | KafkaSource (readStream.format('kafka'), headers via   |
+|                 | includeHeaders) — gated, no broker in sandbox          |
+| pubsub / sqs    | same streaming model behind Kafka/files                |
+| msgraph         | IncrementalSource — watermark-cursor incremental batch |
+|                 | read (timestamp > last_cursor), the Spark analog of    |
+|                 | msgraph's LastTimestamp window pull                    |
+|                 | (internal/input/msgraph/msgraph.go:90-222)             |
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class FileSource:
+    """Batch file input with byte-offset resume per file.
+
+    State: {file_path: file_position} exactly like the reference
+    (internal/input/file/file.go state, state.go:8-58); offset resets to 0
+    when a file shrank (read.go:30-36). Reading the tail slice uses a
+    driver-side seek per file (files are line logs; the tail is the new
+    data) then parallelizes the lines — at cluster scale the idiomatic
+    replacement is readStream.text with its own tracking, provided by
+    ``stream()``.
+    """
+
+    def __init__(self, path: str, delete: bool = False):
+        self.path = path
+        self.delete = delete
+
+    def read_new(
+        self, spark: SparkSession, state: dict | None
+    ) -> tuple[DataFrame, dict]:
+        state = dict(state or {})
+        lines: list[str] = []
+        for fpath in sorted(_glob.glob(self.path)):
+            size = os.path.getsize(fpath)
+            offset = int(state.get(fpath, 0))
+            if size < offset:
+                offset = 0  # file shrank/rotated → restart (read.go:30-36)
+            if size > offset:
+                with open(fpath, "rb") as f:
+                    f.seek(offset)
+                    chunk = f.read()
+                state[fpath] = offset + len(chunk)
+                for ln in chunk.decode("utf-8", errors="replace").split("\n"):
+                    ln = ln.strip()
+                    if ln:
+                        lines.append(ln)
+            if self.delete and size == state.get(fpath, 0):
+                os.remove(fpath)
+                state.pop(fpath, None)
+        df = spark.createDataFrame([(l,) for l in lines] or [], "value: string")
+        return df, state
+
+    def stream(self, spark: SparkSession) -> DataFrame:
+        """Structured Streaming variant (exactly-once file tracking)."""
+        return spark.readStream.text(os.path.dirname(self.path) or ".")
+
+
+class IncrementalSource:
+    """Watermark-cursor incremental batch read over a timestamped table —
+    the msgraph input's time-window pull (msgraph.go:90-222) generalized:
+    read rows with ts in (last_cursor, now], advance cursor only after the
+    batch commits (the Pipeline/manifest handles commit ordering)."""
+
+    def __init__(self, table_path: str, ts_col: str = "warc_ts"):
+        self.table_path = table_path
+        self.ts_col = ts_col
+
+    def read_new(
+        self, spark: SparkSession, state: dict | None
+    ) -> tuple[DataFrame, dict]:
+        df = spark.read.parquet(self.table_path)
+        cursor = (state or {}).get("last_ts")
+        if cursor is not None:
+            df = df.filter(F.col(self.ts_col) > F.lit(cursor).cast("timestamp"))
+        new_max = df.agg(F.max(self.ts_col).cast("string")).collect()[0][0]
+        new_state = {"last_ts": new_max or cursor}
+        return df, new_state
+
+
+class KafkaSource:
+    """readStream.format('kafka'); header injection (include_headers →
+    the reference's @headers JSON merge, kafka.go:182-214) becomes
+    map_from_entries(headers) merged into the payload."""
+
+    def __init__(self, brokers: str, topic: str, group_id: str = "collector_spark", include_headers: bool = False):
+        self.brokers = brokers
+        self.topic = topic
+        self.group_id = group_id
+        self.include_headers = include_headers
+
+    def stream(self, spark: SparkSession) -> DataFrame:
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.brokers)
+            .option("subscribe", self.topic)
+            .option("kafka.group.id", self.group_id)
+            .option("includeHeaders", str(self.include_headers).lower())
+        )
+        df = reader.load()
+        value = F.col("value").cast("string")
+        if self.include_headers:
+            headers = F.map_from_entries(
+                F.transform(
+                    "headers",
+                    lambda h: F.struct(
+                        h.getField("key").alias("key"),
+                        h.getField("value").cast("string").alias("value"),
+                    ),
+                )
+            )
+            # merge @headers into JSON payloads (kafka.go:182-214)
+            value = F.when(
+                F.try_parse_json(value).isNotNull(),
+                F.to_json(
+                    F.struct(
+                        F.from_json(value, "map<string,string>").alias("payload"),
+                        headers.alias("@headers"),
+                    )
+                ),
+            ).otherwise(value)
+        return df.select(value.alias("value"))
+
+
+class SocketSource:
+    """syslog-over-TCP stand-in: readStream.format('socket')."""
+
+    def __init__(self, address: str = "localhost", port: int = 9999):
+        self.address = address
+        self.port = port
+
+    def stream(self, spark: SparkSession) -> DataFrame:
+        return (
+            spark.readStream.format("socket")
+            .option("host", self.address)
+            .option("port", self.port)
+            .load()
+        )
+
+
+SOURCE_REGISTRY = {
+    "file": FileSource,
+    "incremental": IncrementalSource,
+    "kafka": KafkaSource,
+    "socket": SocketSource,
+}
+
+
+def make_source(kind: str, **config):
+    try:
+        cls = SOURCE_REGISTRY[kind]
+    except KeyError:
+        raise ValueError(f"unknown source {kind!r}; registered: {sorted(SOURCE_REGISTRY)}") from None
+    return cls(**config)

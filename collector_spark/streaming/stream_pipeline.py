@@ -1,0 +1,66 @@
+"""Streaming pipeline — the reference's timer-flushed daemon loop
+(flush_frequency, e.g. internal/input/syslog/syslog.go:21,137) mapped to
+Structured Streaming micro-batches.
+
+The SAME processor chain / router / sinks used by the batch Pipeline run
+inside ``foreachBatch`` — one code path for both modes (the reference has
+one code path too: everything is a batch of lines). Watermarking handles
+late events where the reference simply had none (§2.7 gap).
+
+Exactly-once: Structured Streaming's checkpointLocation replaces the
+manifest for source tracking; sink idempotence still comes from
+deterministic ``batch_id=N`` output paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from collector_spark.pipeline import Pipeline
+
+
+class StreamingPipeline:
+    """Wrap a batch Pipeline for readStream sources."""
+
+    def __init__(self, pipeline: Pipeline, checkpoint_dir: str):
+        self.pipeline = pipeline
+        self.checkpoint_dir = checkpoint_dir
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        trigger_seconds: int = 300,  # reference default flush_frequency
+    ) -> StreamingQuery:
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.pipeline.run_batch(batch_df, batch_id=int(batch_id))
+
+        return (
+            stream_df.writeStream.foreachBatch(process)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start()
+        )
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data watermark — the
+    streaming aggregate the reference lacks entirely (SURVEY.md §2.7)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "cnt",
+        )
+    )

@@ -1,0 +1,127 @@
+"""CEL filter truth table from the reference
+(internal/processor/cel/engine_test.go:11-91), verified across all three
+backends: Spark Column, DuckDB SQL, and the pure-Python oracle."""
+
+import json
+
+import duckdb
+import pytest
+
+from collector_spark.operators import cel as C
+
+EVENTS = [
+    '{"code": 400, "status": "invalid request", "data": {"errors": ["invalid page", "invalid scope"]}}',
+    '{"code": 200, "status": "success", "data": {"message": "hello world"}}',
+    '{"code": 500, "error": "server error"}',
+    '{"code": 400, "status": "invalid request", "data": {"errors": ["invalid header"]}}',
+]
+
+RULE1 = "event.code == 200"
+RULE2 = "event.code == 200 || event.code == 400"
+RULE3 = 'event.code == 200 && has(event.data) && has(event.data.message) && event.data.message == "hello world"'
+RULE4 = 'event.code == 400 && has(event.data) && has(event.data.errors) && event.data.errors.exists(x, x == "invalid page")'
+
+# expected per-event match for each single rule (engine_test.go:26-71)
+TRUTH = {
+    RULE1: [False, True, False, False],
+    RULE2: [True, True, False, True],
+    RULE3: [False, True, False, False],
+    RULE4: [True, False, False, False],
+}
+
+INVALID_RULES = ['event === "hi"', 'event ||| "hi"', 'event "hi"']
+
+
+@pytest.mark.parametrize("rule", list(TRUTH))
+def test_python_oracle_truth_table(rule):
+    ast = C.parse_rule(rule)
+    got = [C.rule_detection_python(e, [ast]) for e in EVENTS]
+    assert got == TRUTH[rule], rule
+
+
+@pytest.mark.parametrize("rule", INVALID_RULES)
+def test_invalid_rules_rejected_at_config_time(rule):
+    with pytest.raises(C.CelSyntaxError):
+        C.parse_rule(rule)
+
+
+@pytest.mark.parametrize("rule", list(TRUTH))
+def test_spark_backend_matches_truth_table(spark, rule):
+    df = spark.createDataFrame([(e,) for e in EVENTS], ["value"])
+    filt = C.CelFilter(rules=[rule], action="accept", mode="json")
+    kept = {r.value for r in filt.apply(df).collect()}
+    expected = {e for e, m in zip(EVENTS, TRUTH[rule]) if m}
+    assert kept == expected, rule
+
+
+@pytest.mark.parametrize("rule", list(TRUTH))
+def test_duckdb_backend_matches_truth_table(rule):
+    filt = C.CelFilter(rules=[rule], action="accept", mode="json")
+    pred = filt.sql_predicate()
+    con = duckdb.connect()
+    got = []
+    for e in EVENTS:
+        escaped = e.replace("'", "''")
+        val = con.execute(
+            f"select {pred.replace('value', f'''CAST('{escaped}' AS VARCHAR)''')}"
+        ).fetchone()[0]
+        got.append(bool(val))
+    assert got == TRUTH[rule], rule
+
+
+def test_or_composition_and_reject(spark):
+    df = spark.createDataFrame([(e,) for e in EVENTS], ["value"])
+    filt = C.CelFilter(rules=[RULE1, RULE4], action="accept", mode="json")
+    kept = {r.value for r in filt.apply(df).collect()}
+    assert kept == {EVENTS[0], EVENTS[1]}
+    rej = C.CelFilter(rules=[RULE1, RULE4], action="reject", mode="json")
+    kept = {r.value for r in rej.apply(df).collect()}
+    assert kept == {EVENTS[2], EVENTS[3]}
+
+
+def test_non_json_lines_dropped(spark):
+    rows = [("not json",), ("",), ('{"code": 200}',), ("  ",)]
+    df = spark.createDataFrame(rows, ["value"])
+    filt = C.CelFilter(rules=["event.code == 200"], action="accept", mode="json")
+    out = filt.apply(df).collect()
+    assert [r.value for r in out] == ['{"code": 200}']
+    # reject action also drops non-JSON (they never reach evaluation)
+    rej = C.CelFilter(rules=["event.code == 500"], action="reject", mode="json")
+    out = rej.apply(df).collect()
+    assert [r.value for r in out] == ['{"code": 200}']
+
+
+def test_columns_mode(spark):
+    df = spark.createDataFrame(
+        [(1, "click", 55.0), (2, "view", 10.0), (3, "click", 5.0)],
+        ["id", "event_type", "value2"],
+    ).withColumnRenamed("value2", "val")
+    filt = C.CelFilter(
+        rules=['event.event_type == "click" && event.val > 20'],
+        action="accept",
+        mode="columns",
+    )
+    assert [r.id for r in filt.apply(df).collect()] == [1]
+
+
+def test_extended_predicates(spark):
+    events = [
+        '{"url": "https://a.example.com/x", "tags": ["spam", "ads"], "n": 3}',
+        '{"url": "http://b.org/y", "tags": ["news"], "n": 7}',
+    ]
+    df = spark.createDataFrame([(e,) for e in events], ["value"])
+    cases = [
+        ('event.url.startsWith("https")', [events[0]]),
+        ('event.url.contains("b.org")', [events[1]]),
+        ('event.tags.exists(t, t == "news")', [events[1]]),
+        ("event.n in [3, 4]", [events[0]]),
+        ('!(event.n == 3)', [events[1]]),
+    ]
+    for rule, expected in cases:
+        filt = C.CelFilter(rules=[rule], action="accept", mode="json")
+        got = [r.value for r in filt.apply(df).collect()]
+        assert got == expected, rule
+        # python oracle agrees
+        ast = C.parse_rule(rule)
+        got_py = [e for e in events if C.rule_detection_python(e, [ast])]
+        assert got_py == expected, rule

@@ -1,0 +1,139 @@
+"""Spark-side processor parity vs the pure-Python oracle: kv/cef/syslog/
+json-mutate pandas UDF & native-expression operators, plus the HTML
+extract stage (byte-identical extracted text per url)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from collector_spark import datagen, oracle
+from collector_spark.operators.extract import HtmlExtractor
+from collector_spark.operators.json_mutate import JsonMutator
+from collector_spark.operators.kv import KvParser
+from collector_spark.operators.syslog import SyslogParser
+from tests.test_oracle_fixtures import (
+    CEF1,
+    CEF2,
+    CEF3,
+    CEF4,
+    CEF5,
+    KV1,
+    KV2,
+    KV3,
+    SYSLOG1,
+    SYSLOG2,
+    SYSLOG3,
+)
+
+
+def test_kv_parser_spark(spark):
+    df = spark.createDataFrame([(KV1,), (KV2,), (KV3,), ("",)], ["value"])
+    out = KvParser(type="raw").apply(df).select("value", "parsed").collect()
+    assert len(out) == 1
+    assert out[0].parsed == oracle.parse_kv(KV1)
+
+
+def test_cef_parser_spark(spark):
+    lines = [CEF1, CEF2, CEF3, CEF4, CEF5]
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    rows = KvParser(type="cef").apply(df).collect()
+    parsed = {r.value: r.parsed.asDict(recursive=True) for r in rows}
+    assert CEF4 not in parsed  # invalid dropped
+    for line in (CEF1, CEF2, CEF3, CEF5):
+        assert parsed[line] == oracle.parse_cef(line), line
+
+
+def test_cef_as_json_matches_oracle(spark):
+    df = spark.createDataFrame([(CEF3,)], ["value"])
+    out = KvParser(type="cef", as_json=True).apply(df).collect()
+    assert out[0].value == oracle.parse_cef_json(CEF3)
+
+
+def test_syslog_spark_all_modes(spark):
+    lines = [SYSLOG1, SYSLOG2, SYSLOG3]
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    raw = [r.value for r in SyslogParser("raw").apply(df).collect()]
+    assert raw == [oracle.syslog_raw(l) for l in lines]
+
+    r3164 = {r.value for r in SyslogParser("rfc3164").apply(df).collect()}
+    assert r3164 == {oracle.syslog_rfc3164(SYSLOG1), oracle.syslog_rfc3164(SYSLOG2)}
+
+    r5424 = [r.value for r in SyslogParser("rfc5424").apply(df).collect()]
+    assert r5424 == [oracle.syslog_rfc5424(SYSLOG3)]
+
+
+def test_json_mutator_spark_matches_oracle(spark):
+    lines = [
+        '{"code": 200, "status": "success", "data": {"message": "hello"}}',
+        '{"code": 500}',
+        "not json",
+        '{"a": {"b": 1}}',
+    ]
+    actions = dict(
+        add=[{"key": "env", "value": "prod"}],
+        remove=[{"key": "data.message"}],
+        replace=[{"key": "code", "value": 500, "new_value": 599}],
+    )
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    got = [r.value for r in JsonMutator(**actions).apply(df).collect()]
+    expected = [v for v in (oracle.json_mutate(l, **actions) for l in lines) if v is not None]
+    assert got == expected
+
+
+def test_json_mutator_columns_mode(spark):
+    df = spark.createDataFrame([(200, "x"), (500, "y")], ["code", "tag"])
+    out = JsonMutator(
+        add=[{"key": "env", "value": "prod"}],
+        replace=[{"key": "code", "value": 500, "new_value": 599}],
+        mode="columns",
+    ).apply(df)
+    rows = {r.tag: (r.code, r.env) for r in out.collect()}
+    assert rows == {"x": (200, "prod"), "y": (599, "prod")}
+
+
+def test_datagen_deterministic_and_distributed_equal(spark):
+    n = 64
+    local = datagen.gen_pages_local(n)
+    dist = datagen.gen_pages_df(spark, n, partitions=8).collect()
+    assert len(dist) == n
+    by_url = {r.url: r for r in dist}
+    for row in local:
+        got = by_url[row["url"]]
+        assert bytes(got.html) == row["html"]
+        assert got.text == row["text"]
+        assert got.lang == row["lang"]
+
+
+def test_extract_text_byte_identical(spark):
+    n = 128
+    pages = datagen.gen_pages_df(spark, n, partitions=4)
+    out = HtmlExtractor().apply(pages).select("url", "text", "extracted_text").collect()
+    assert len(out) == n
+    for r in out:
+        assert r.extracted_text == r.text, r.url
+
+
+def test_extract_log_lines_parseable(spark):
+    pages = datagen.gen_pages_df(spark, 32, partitions=2)
+    lines = HtmlExtractor().log_lines(pages)
+    assert lines.count() == 32 * 3
+    # the embedded KV lines parse
+    kv_rows = KvParser(type="raw").apply(lines.filter(F.col("value").startswith("dvc="))).collect()
+    assert len(kv_rows) == 32
+    for r in kv_rows:
+        assert set(r.parsed) == {"dvc", "rt", "cat"}
+    # the embedded syslog-wrapped CEF lines parse end-to-end
+    cef_lines = SyslogParser("raw").apply(lines.filter(F.col("value").startswith("<134>")))
+    cef_lines = cef_lines.withColumn(
+        "value", F.regexp_replace("value", r"^Apr 13 [0-9:]+ \S+ ", "")
+    )
+    cef = KvParser(type="cef").apply(cef_lines).collect()
+    assert len(cef) == 32
+    for r in cef:
+        assert r.parsed.device_vendor == "synthetic"
+        assert "requestCode" in r.parsed.extensions
+    # the embedded JSON lines round-trip
+    json_lines = [r.value for r in lines.filter(F.col("value").startswith("{")).collect()]
+    assert len(json_lines) == 32
+    for l in json_lines:
+        assert set(json.loads(l)) == {"code", "status", "bytes", "path"}
