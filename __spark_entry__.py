@@ -1,38 +1,629 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is one operator/pipeline from SURVEY.md §2 (or a
+training-data op from the build brief), expressed with the
+collector_spark engine; ``oracle_sql()`` carries the equivalent DuckDB
+SQL run side-by-side by the driver at sf=0.01.
+
+Column names and types are aligned on both sides (the driver hashes
+values after sorting columns by name). Aggregate counts are cast to
+BIGINT in DuckDB (its SUM returns HUGEINT); floats are rounded
+identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SEVERITY_MOD = 10
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 1. Flagship: parse → route → aggregate (collector's manager loop as one job)
+# ---------------------------------------------------------------------------
+
+_ROUTES = [
+    ("errors", 'event.event_type == "error"'),
+    ("high_value", "event.val > 90"),
+    ("clicks_views", 'event.event_type in ["click", "view"]'),
+    ("all_events", None),
+]
+
+
+def q_pipeline_parse_route_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events → JSON log lines (the reference's record model) → rule-driven
+    router → per-sink aggregate counts (manager.go:190-216 semantics)."""
+    from collector_spark.operators.router import Route, Router
+
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("event_type"),
+                F.col("value").alias("val"),
+            )
+        ).alias("value")
+    )
+    router = Router([Route(n, p) for n, p in _ROUTES], mode="json")
+    return router.sink_counts(lines)
+
+
+def _sql_pipeline_parse_route_agg() -> str:
+    selects = []
+    preds = {
+        "errors": "event_type = 'error'",
+        "high_value": "value > 90",
+        "clicks_views": "event_type IN ('click', 'view')",
+        "all_events": "TRUE",
+    }
+    for name, _ in _ROUTES:
+        selects.append(
+            f"SELECT '{name}' AS sink, CAST(SUM(CASE WHEN {preds[name]} THEN 1 ELSE 0 END) AS BIGINT) AS cnt FROM events"
+        )
+    return " UNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# 2/3. CEL filter accept/reject (processor `cel`, cel.go:50-88)
+# ---------------------------------------------------------------------------
+
+_CEL_RULE = 'event.k > 50 && event.event_type == "click"'
+
+
+def _events_with_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).withColumn(
+        "k", F.get_json_object("props", "$.k").try_cast("double")
+    )
+
+
+def q_cel_filter_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.cel import CelFilter
+
+    ev = _events_with_k(spark, sf_dir)
+    filt = CelFilter(rules=[_CEL_RULE], action="accept", mode="columns")
+    return filt.apply(ev).select("event_id")
+
+
+def q_cel_filter_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.cel import CelFilter
+
+    ev = _events_with_k(spark, sf_dir)
+    filt = CelFilter(rules=[_CEL_RULE], action="reject", mode="columns")
+    return filt.apply(ev).select("event_id")
+
+
+_SQL_CEL_PRED = (
+    "COALESCE((TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50) "
+    "AND (event_type = 'click'), FALSE)"
+)
+
+
+# ---------------------------------------------------------------------------
+# 4. JSON mutate (processor `json`, json.go:88-130)
+# ---------------------------------------------------------------------------
+
+
+def q_json_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add source=events, replace k==50→0 on the raw props JSON lines,
+    then extract the mutated fields."""
+    from collector_spark.operators.json_mutate import JsonMutator
+
+    ev = _events(spark, sf_dir)
+    mut = JsonMutator(
+        add=[{"key": "source", "value": "events"}],
+        replace=[{"key": "k", "value": 50, "new_value": 0}],
+        value_col="props",
+    )
+    out = mut.apply(ev.select("event_id", "props"))
+    return out.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_after"),
+        F.get_json_object("props", "$.source").alias("source"),
+    )
+
+
+_SQL_JSON_MUTATE = """
+SELECT event_id,
+       CAST(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) = 50
+                 THEN 0
+                 ELSE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS BIGINT) AS k_after,
+       'events' AS source
+FROM events
+WHERE json_valid(props)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Syslog PRI strip (processor `syslog` raw, syslog.go:96-99)
+# ---------------------------------------------------------------------------
+
+
+def q_syslog_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.syslog import SyslogParser
+
+    docs = _documents(spark, sf_dir)
+    lines = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<"), (F.col("doc_id") % 192).cast("string"), F.lit(">"), F.col("text")
+        ).alias("value"),
+    )
+    return SyslogParser("raw").apply(lines).select("doc_id", "value")
+
+
+_SQL_SYSLOG_STRIP = """
+SELECT doc_id,
+       regexp_replace('<' || CAST(doc_id % 192 AS VARCHAR) || '>' || text,
+                      '^<([0-9]{1,3})>', '') AS value
+FROM documents
+WHERE length(trim('<' || CAST(doc_id % 192 AS VARCHAR) || '>' || text)) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. KV parse round-trip (processor `kv` raw, kv.go:107-157)
+# ---------------------------------------------------------------------------
+
+
+def q_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.kv import KvParser
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # kv values cannot contain spaces (the reference's parser rejects the
+    # line, kv_test.go:42-47) — encode them first, like a real log would
+    lines = orders.select(
+        "o_orderkey",
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("status="), F.col("o_orderstatus")),
+            F.concat(F.lit("prio="), F.translate(F.col("o_orderpriority"), " ", "_")),
+        ).alias("value"),
+    )
+    out = KvParser(type="raw").apply(lines)
+    return out.select(
+        "o_orderkey",
+        F.col("parsed")["status"].alias("status"),
+        F.col("parsed")["prio"].alias("prio"),
+    )
+
+
+_SQL_KV_ROUNDTRIP = """
+SELECT o_orderkey, o_orderstatus AS status,
+       replace(o_orderpriority, ' ', '_') AS prio
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. CEF parse round-trip (processor `kv` cef, cef.go:23-143)
+# ---------------------------------------------------------------------------
+
+
+def q_cef_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.kv import KvParser
+
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        F.concat(
+            F.lit("CEF:0|collector_spark|events|1.0|"),
+            F.col("event_type"),
+            F.lit("|Event "),
+            F.col("event_type"),
+            F.lit("|"),
+            (F.col("event_id") % SEVERITY_MOD).cast("string"),
+            F.lit("|dvc=10.0.0.1 rt="),
+            F.col("event_id").cast("string"),
+            F.lit(" cat=events:synthetic"),
+        ).alias("value")
+    )
+    out = KvParser(type="cef").apply(lines)
+    return out.select(
+        F.col("parsed.extensions")["rt"].try_cast("bigint").alias("event_id"),
+        F.col("parsed.device_event_class_id").alias("class_id"),
+        F.col("parsed.severity").alias("severity"),
+        F.col("parsed.extensions")["cat"].alias("cat"),
+    )
+
+
+_SQL_CEF_ROUNDTRIP = f"""
+SELECT event_id,
+       event_type AS class_id,
+       CAST(event_id % {SEVERITY_MOD} AS VARCHAR) AS severity,
+       'events:synthetic' AS cat
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. Broadcast enrichment join (north rule lookup enrich)
+# ---------------------------------------------------------------------------
+
+
+def q_enrich_broadcast_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+_SQL_ENRICH = """
+SELECT r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. Aggregation: pricing summary (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. Window ranking (gap list §2.7: sorts/top-k)
+# ---------------------------------------------------------------------------
+
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+_SQL_WINDOW_TOP = """
+SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. Event-time tumbling window aggregation (gap list §2.7: event time)
+# ---------------------------------------------------------------------------
+
+
+def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+_SQL_EVENT_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. Exact dedup (training-data op)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.dedup import exact_dup_groups
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    return exact_dup_groups(doubled, ["text"], "doc_id")
+
+
+_SQL_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM (SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. MinHash-LSH near-dup (rows-only oracle: md5-based hash family is not
+#     SQL-expressible; pinned against the Python oracle in pytest instead)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    near = docs.withColumn("doc_id", F.col("doc_id") + 1000000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" tail marker"))
+    )
+    pairs = minhash_lsh_pairs(
+        docs.unionAll(near), num_hashes=64, bands=16, threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# 14. SimHash fingerprints (rows-only oracle, pinned in pytest)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.dedup import simhash_near_pairs
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    return simhash_near_pairs(docs.unionAll(copies), max_hamming=0)
+
+
+# ---------------------------------------------------------------------------
+# 15. ANN brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+_ANN_K = 10
+_ANN_NQ = 5
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.similarity import brute_force_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ)
+    out = brute_force_topk(emb, queries, k=_ANN_K, round_digits=6)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
+_SQL_ANN = f"""
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, ROUND(cosine, 4) AS cosine
+FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                    b.vec_id ASC) AS rank
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < {_ANN_NQ} AND b.vec_id <> a.vec_id
+) WHERE rank <= {_ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 16. Embedding near-dup pairs (identical copies → cosine 1.0)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    copies = emb.withColumn("vec_id", F.col("vec_id") + 1000000)
+    pairs = embedding_near_dup_pairs(
+        emb.unionAll(copies), threshold=0.9999, dim=64, bits=16, bands=4
+    )
+    return pairs.select("id_a", "id_b")
+
+
+_SQL_EMB_NEAR_DUP = """
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# 17-19. Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.textstats import lang_id_col
+
+    docs = _documents(spark, sf_dir)
+    return docs.select("doc_id", lang_id_col(F.col("text")).alias("pred_lang"))
+
+
+def _sql_lang_id() -> str:
+    from collector_spark.operators.textstats import lang_id_sql
+
+    return f"SELECT doc_id, {lang_id_sql('text')} AS pred_lang FROM documents"
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.textstats import quality_score_col, token_count_col
+
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        quality_score_col(text_col="text").alias("quality"),
+    )
+
+
+def _sql_quality() -> str:
+    from collector_spark.operators.textstats import TOKEN_COUNT_SQL, quality_score_sql
+
+    return (
+        f"SELECT doc_id, CAST({TOKEN_COUNT_SQL.format(col='text')} AS INT) AS n_tokens, "
+        f"{quality_score_sql('text')} AS quality FROM documents"
+    )
+
+
+def q_token_count_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.textstats import token_count_col
+
+    docs = _documents(spark, sf_dir)
+    return (
+        docs.withColumn("n_tokens", token_count_col(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _sql_token_count_agg() -> str:
+    from collector_spark.operators.textstats import TOKEN_COUNT_SQL
+
+    tc = TOKEN_COUNT_SQL.format(col="text")
+    return (
+        f"SELECT lang, CAST(SUM({tc}) AS BIGINT) AS total_tokens, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang"
+    )
+
+
+def q_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    return docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+
+
+_SQL_FP = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def q_dedup_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint (rows-only oracle; Python-oracle pinned
+    in tests/test_training_ops.py)."""
+    from collector_spark.operators.textstats import fingerprint_col
+
+    docs = _documents(spark, sf_dir)
+    return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full parse→route→aggregate pipeline at sf0.001."""
+    return q_pipeline_parse_route_agg(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pipeline_parse_route_agg": q_pipeline_parse_route_agg,
+        "cel_filter_accept": q_cel_filter_accept,
+        "cel_filter_reject": q_cel_filter_reject,
+        "json_mutate": q_json_mutate,
+        "syslog_strip": q_syslog_strip,
+        "kv_roundtrip": q_kv_roundtrip,
+        "cef_roundtrip": q_cef_roundtrip,
+        "enrich_broadcast_agg": q_enrich_broadcast_agg,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "window_top_orders": q_window_top_orders,
+        "event_window_agg": q_event_window_agg,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count_agg": q_token_count_agg,
+        "fingerprint_md5": q_fingerprint_md5,
+        "fingerprint_rolling": q_dedup_fingerprint_rolling,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pipeline_parse_route_agg": _sql_pipeline_parse_route_agg(),
+        "cel_filter_accept": f"SELECT event_id FROM events WHERE {_SQL_CEL_PRED}",
+        "cel_filter_reject": f"SELECT event_id FROM events WHERE NOT {_SQL_CEL_PRED}",
+        "json_mutate": _SQL_JSON_MUTATE,
+        "syslog_strip": _SQL_SYSLOG_STRIP,
+        "kv_roundtrip": _SQL_KV_ROUNDTRIP,
+        "cef_roundtrip": _SQL_CEF_ROUNDTRIP,
+        "enrich_broadcast_agg": _SQL_ENRICH,
+        "agg_pricing_summary": _SQL_PRICING,
+        "window_top_orders": _SQL_WINDOW_TOP,
+        "event_window_agg": _SQL_EVENT_WINDOW,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        # dedup_minhash_lsh / dedup_simhash / fingerprint_rolling:
+        # md5-based hash families — not SQL-expressible; rows-only check
+        # (pinned against the Python oracle in pytest).
+        "ann_cosine_topk": _SQL_ANN,
+        "embedding_near_dup": _SQL_EMB_NEAR_DUP,
+        "lang_id": _sql_lang_id(),
+        "quality_score": _sql_quality(),
+        "token_count_agg": _sql_token_count_agg(),
+        "fingerprint_md5": _SQL_FP,
+    }

@@ -1,0 +1,62 @@
+"""Table catalog — Iceberg when a runtime catalog is configured, plain
+parquet directories otherwise (no Iceberg jar offline; same logical
+schema either way, per SURVEY.md §7).
+
+The swap point is deliberately tiny: ``read_table`` / ``append`` /
+``overwrite_partition``. On a real cluster add
+
+    spark.sql.catalog.lake = org.apache.iceberg.spark.SparkCatalog
+    spark.sql.catalog.lake.type = hadoop|rest
+
+and the same calls route through ``spark.table('lake.db.t')`` /
+``writeTo(...).append()``, giving snapshot isolation + incremental scans
+(which replace the manifest-file checkpointing for sources).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_available(spark: SparkSession, name: str) -> bool:
+    return "." in name and spark.conf.get(
+        f"spark.sql.catalog.{name.split('.')[0]}", None
+    ) is not None
+
+
+class Catalog:
+    """name → path mapping for the parquet fallback; Iceberg names are
+    catalog-qualified (``lake.db.pages``)."""
+
+    def __init__(self, spark: SparkSession, root: str | None = None):
+        self.spark = spark
+        self.root = root or os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse")
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, *name.split("."))
+
+    def read_table(self, name: str) -> DataFrame:
+        if _iceberg_available(self.spark, name):
+            return self.spark.table(name)
+        return self.spark.read.parquet(self._path(name))
+
+    def append(self, df: DataFrame, name: str) -> None:
+        if _iceberg_available(self.spark, name):
+            df.writeTo(name).append()
+            return
+        df.write.mode("append").parquet(self._path(name))
+
+    def overwrite_partition(self, df: DataFrame, name: str, partition_col: str) -> None:
+        """Dynamic partition overwrite — the idempotent-replay write mode
+        (same observable result as an Iceberg REPLACE snapshot)."""
+        if _iceberg_available(self.spark, name):
+            df.writeTo(name).overwritePartitions()
+            return
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(self._path(name))
+        )

@@ -262,14 +262,16 @@ def simhash_near_pairs(
     bands = max_hamming + 1
     width = 64 // bands
     fp = simhash_fingerprints(df, text_col, id_col)
+
+    def band_value(i: int):
+        col = F.shiftrightunsigned(F.col("simhash"), i * width)
+        if width >= 64:
+            return col  # single band = the whole fingerprint (mask would overflow i64)
+        return col.bitwiseAND(F.lit((1 << width) - 1))
+
     band_arr = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), i * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("bv"),
-            )
+            F.struct(F.lit(i).alias("band"), band_value(i).alias("bv"))
             for i in range(bands)
         ]
     )

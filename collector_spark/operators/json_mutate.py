@@ -62,14 +62,29 @@ class JsonMutator:
         replace: list[dict] | None = None,
         mode: str = "json",
         value_col: str = "value",
+        engine: str = "pandas",
     ):
         self.add = add or []
         self.remove = remove or []
         self.replace = replace or []
         if mode not in ("json", "columns"):
             raise ValueError(mode)
+        if engine not in ("pandas", "native"):
+            raise ValueError(engine)
+        if engine == "native" and (
+            self.remove
+            or self.replace
+            or any("." in a["key"] for a in (add or []))
+        ):
+            # the native fast path is top-level-add only (string surgery
+            # on compact JSON); everything else goes through the oracle UDF
+            raise ValueError(
+                "engine='native' supports only top-level add actions; "
+                "use engine='pandas' for remove/replace/nested keys"
+            )
         self.mode = mode
         self.value_col = value_col
+        self.engine = engine
         for a in self.add:
             if "key" not in a or "value" not in a:
                 raise ValueError(f"add action needs key+value: {a}")
@@ -83,10 +98,61 @@ class JsonMutator:
     def apply(self, df: DataFrame) -> DataFrame:
         if self.mode == "columns":
             return self._apply_columns(df)
+        if self.engine == "native":
+            return self._apply_native(df)
         udf = make_mutate_udf(self.add, self.remove, self.replace)
         out = df.withColumn(self.value_col, udf(F.col(self.value_col)))
         # non-JSON → None → dropped (json.go:88-99)
         return out.filter(F.col(self.value_col).isNotNull())
+
+    def _apply_native(self, df: DataFrame) -> DataFrame:
+        """Top-level add on compact JSON object lines as pure Catalyst
+        string surgery (sjson appends before the closing brace exactly
+        like this). Requirements, enforced at plan build + runtime:
+        only objects survive (non-JSON / non-object lines are dropped,
+        matching the reference), and keys being added must not already
+        exist (checked per row; pre-existing keys fall back to a
+        replace-style set via the same append after a delete is NOT
+        supported natively — such rows keep their old value dropped by
+        the guard below going through the slow path is the correct
+        choice; for the pipelines in this repo added keys are new)."""
+        col = F.trim(F.col(self.value_col))
+        out = df.withColumn(self.value_col, col).filter(
+            (F.length(col) > 0)
+            & F.try_parse_json(col).isNotNull()
+            & col.startswith("{")
+        )
+        import json as _json
+
+        for a in self.add:
+            frag = _json.dumps({a["key"]: a["value"]}, separators=(",", ":"))[1:-1]
+            key_re = _json.dumps(a["key"])[1:-1]
+            val_json = _json.dumps(a["value"], separators=(",", ":"))
+            v = F.col(self.value_col)
+            appended = F.when(
+                F.regexp_like(v, F.lit(r"^\{\s*\}$")),
+                F.concat(F.lit("{"), F.lit(frag), F.lit("}")),
+            ).otherwise(
+                F.concat(
+                    F.expr(
+                        f"substring({self.value_col}, 1, length({self.value_col}) - 1)"
+                    ),
+                    F.lit(","),
+                    F.lit(frag),
+                    F.lit("}"),
+                )
+            )
+            # sjson.Set semantics: existing key is OVERWRITTEN. Native
+            # path rewrites scalar values in place (string/number/bool/
+            # null); keys holding nested objects need engine='pandas'.
+            exists = F.get_json_object(v, f"$.{a['key']}").isNotNull()
+            pattern = f'("{key_re}"\\s*:\\s*)("(?:[^"\\\\]|\\\\.)*"|[^,}}\\]]+)'
+            replacement = "$1" + val_json.replace("\\", "\\\\").replace("$", "\\$")
+            replaced = F.regexp_replace(v, pattern, replacement)
+            out = out.withColumn(
+                self.value_col, F.when(exists, replaced).otherwise(appended)
+            )
+        return out
 
     def _apply_columns(self, df: DataFrame) -> DataFrame:
         """Native-columns strategy: dotted keys are struct fields; only

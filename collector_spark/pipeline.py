@@ -106,10 +106,21 @@ class Pipeline:
 
     # -- plan construction ---------------------------------------------------
 
-    def transform(self, df: DataFrame) -> DataFrame:
-        """Apply the processor chain (pure logical-plan composition)."""
-        for _, stage in self.stages:
+    def transform(
+        self, df: DataFrame, observations: dict[str, Observation] | None = None
+    ) -> DataFrame:
+        """Apply the processor chain (pure logical-plan composition).
+
+        With ``observations`` a dict is filled with one Observation per
+        stage measuring surviving rows ON THE SAME PASS (the reference's
+        per-processor Rotate() counts, manager.go:160) — no extra jobs.
+        """
+        for i, (kind, stage) in enumerate(self.stages):
             df = stage.apply(df)
+            if observations is not None:
+                obs = Observation(f"stage_{i}_{kind}")
+                df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                observations[f"stage_{i}_{kind}"] = obs
         return df
 
     # -- execution -----------------------------------------------------------
@@ -133,20 +144,29 @@ class Pipeline:
         ):
             return BatchRecord(batch_id=batch_id, source_state=source_state or {})
 
-        out = self.transform(df)
+        observations: dict[str, Observation] = {}
+        out = self.transform(df, observations=observations)
 
         per_sink: dict[str, int] = {}
+        wrote_any = False
         if self.router is not None:
             views = self.router.split(out, persist=True)
             try:
                 for name, view in views.items():
                     per_sink[name] = self.sinks[name].write(view, batch_id=batch_id)
+                    wrote_any = True
             finally:
                 out.unpersist()
 
+        per_stage = (
+            {name: int(obs.get["rows"]) for name, obs in observations.items()}
+            if wrote_any and observations
+            else {}
+        )
         record = BatchRecord(
             batch_id=batch_id,
             source_state=source_state or {},
+            per_stage_counts=per_stage,
             per_sink_counts=per_sink,
         )
         if self.manifest is not None:

@@ -137,12 +137,19 @@ def _count_written_parquet(spark, target: str) -> int:
     return spark.read.parquet(target).count()
 
 
+def _http_sinks():
+    from collector_spark.sinks.http_sinks import HttpSink, LogAnalyticsSink, PubSubSink
+
+    return {"http": HttpSink, "log_analytics": LogAnalyticsSink, "pubsub": PubSubSink}
+
+
 SINK_REGISTRY = {
     "parquet": ParquetSink,
     "file": FileSink,
     "stdout": ConsoleSink,
     "kafka": KafkaSink,
 }
+SINK_REGISTRY.update(_http_sinks())
 
 
 def make_sink(kind: str, **config):

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint.
+
+Cluster usage (north rule: spark-submit --py-files, N and 4N executors):
+
+    python submit.py --package                 # build dist/collector_spark.zip
+    spark-submit --py-files dist/collector_spark.zip \
+        --num-executors 64 --executor-cores 4 --executor-memory 8g \
+        submit.py --config-dir confs/ --state-dir state/ \
+        --input /data/pages --batch-id 42
+
+Local sandbox equivalent: python submit.py --config-dir ... (uses
+local[*]). The job itself is identical; only the master changes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import zipfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_zip(out: str = "dist/collector_spark.zip") -> str:
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    root = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(root, "collector_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _, files in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--package", action="store_true", help="build the --py-files zip and exit")
+    ap.add_argument("--config-dir", help="directory of .conf instance files")
+    ap.add_argument("--state-dir", default="state")
+    ap.add_argument("--input", help="pages/lines parquet path")
+    ap.add_argument("--input-kind", default="pages", choices=["pages", "lines"])
+    ap.add_argument("--batch-id", type=int, default=0)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    if args.package:
+        print(build_zip())
+        return
+
+    if not args.config_dir or not args.input:
+        ap.error("--config-dir and --input are required (or use --package)")
+
+    from pyspark.sql import functions as F
+
+    from collector_spark.operators.extract import HtmlExtractor
+    from collector_spark.pipeline import load_instances
+    from collector_spark.session import get_spark
+
+    spark = get_spark(app_name="collector_spark_submit", master=args.master)
+    instances = load_instances(args.config_dir, state_dir=args.state_dir)
+    df = spark.read.parquet(args.input)
+    if args.input_kind == "pages":
+        df = HtmlExtractor().log_lines(df).select("value")
+    for iid, pipe in instances.items():
+        record = pipe.run_batch(df, batch_id=args.batch_id)
+        print(f"{iid}: batch={record.batch_id} sinks={record.per_sink_counts} "
+              f"stages={record.per_stage_counts}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Scale-property assertions on physical plans: pushdown, pruning,
+broadcast joins, no html read when not needed. These are the properties
+that keep the job viable at 100 TB; they are tested, not assumed."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from collector_spark import datagen
+from collector_spark.operators.enrich import enrich_pages
+from collector_spark.plans import (
+    has_broadcast_join,
+    has_sort_merge_join,
+    pushed_filters,
+    scan_read_schema,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pages") / "pages.parquet")
+    datagen.write_pages(spark, path, 256)
+    return path
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_path):
+    df = spark.read.parquet(pages_path).filter(F.col("lang") == "en").select("url")
+    pf = pushed_filters(df)
+    assert any("lang" in f for f in pf), pf
+
+
+def test_column_pruning_never_reads_html(spark, pages_path):
+    df = (
+        spark.read.parquet(pages_path)
+        .filter(F.col("lang") == "en")
+        .select("url", "warc_ts")
+    )
+    cols = scan_read_schema(df)
+    assert "html" not in cols, cols
+    assert "text" not in cols, cols
+
+
+def test_enrichment_joins_are_broadcast_not_shuffle(spark, pages_path):
+    pages = spark.read.parquet(pages_path).drop("html")
+    enriched = enrich_pages(pages, datagen.lookup_dfs(spark))
+    assert has_broadcast_join(enriched)
+    assert not has_sort_merge_join(enriched)
+
+
+def test_events_ts_filter_pushdown(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = ev.filter(F.col("event_type") == "click").select("event_id")
+    pf = pushed_filters(df)
+    assert any("event_type" in f for f in pf), pf
+    cols = scan_read_schema(df)
+    assert "props" not in cols, cols

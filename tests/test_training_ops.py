@@ -1,0 +1,199 @@
+"""Training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash
+/ n-gram Jaccard), similarity search (brute-force + LSH), text analysis,
+multimodal plumbing."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from collector_spark import oracle
+from collector_spark.operators import dedup, similarity, textstats
+
+
+def _docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog and runs far away"),
+        (1, "the quick brown fox jumps over the lazy dog and runs far home"),  # near-dup of 0
+        (2, "completely different content about spark dataframes and shuffles"),
+        (3, "the quick brown fox jumps over the lazy dog and runs far away"),  # exact dup of 0
+        (4, "der hund läuft schnell und die katze schläft nicht gern hier"),
+    ]
+    return spark.createDataFrame(base, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark)
+    groups = dedup.exact_dup_groups(df, ["text"], "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0].doc_id == 0 and groups[0].dup_count == 2
+    reps = dedup.exact_dedup(df, ["text"], "doc_id")
+    assert reps.count() == 4  # 5 docs, one exact dup collapsed
+
+
+def test_minhash_signature_matches_oracle(spark):
+    df = _docs(spark)
+    sigs = {r.doc_id: r.signature for r in dedup.minhash_signatures(df, num_hashes=32).collect()}
+    for doc_id, text in [(0, _docs(spark).collect()[0].text)]:
+        expected = oracle.minhash_signature(oracle.word_shingles(text, 3), 32)
+        assert sigs[doc_id] == expected
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = _docs(spark)
+    pairs = dedup.minhash_lsh_pairs(df, num_hashes=64, bands=16, threshold=0.4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 3) in got  # exact dup → jaccard 1.0
+    assert (0, 1) in got or (1, 3) in got  # near-dup found
+    assert (0, 2) not in got and (2, 4) not in got  # unrelated not paired
+
+
+def test_ngram_jaccard_verification(spark):
+    df = _docs(spark)
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], ["id_a", "id_b"]
+    )
+    out = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(df, cand, threshold=0.0).collect()}
+    assert out[(0, 3)] == 1.0
+    # oracle agreement for the near-dup pair
+    texts = {r.doc_id: r.text for r in df.collect()}
+    s0, s1 = oracle.word_shingles(texts[0], 3), oracle.word_shingles(texts[1], 3)
+    expected = len(s0 & s1) / len(s0 | s1)
+    assert abs(out[(0, 1)] - expected) < 1e-9
+    assert out[(0, 2)] == 0.0
+
+
+def test_simhash_matches_oracle_and_finds_pairs(spark):
+    df = _docs(spark)
+    fps = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(df).collect()}
+    texts = {r.doc_id: r.text for r in df.collect()}
+    for did, t in texts.items():
+        h = oracle.simhash64(t.split())
+        expected = h - (1 << 64) if h >= (1 << 63) else h
+        assert fps[did] == expected
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_near_pairs(df, max_hamming=6).collect()}
+    assert pairs.get((0, 3)) == 0
+
+
+def _emb(spark, n=40, dim=8):
+    rows = []
+    rng = np.random.RandomState(7)
+    for i in range(n):
+        v = rng.randn(dim)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), rows
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, rows = _emb(spark)
+    queries = df.filter(F.col("vec_id") < 3)
+    out = similarity.brute_force_topk(df, queries, k=5)
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in out.collect()}
+    mat = np.array([r[1] for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    for q in range(3):
+        sims = mat @ mat[q] / (norms * norms[q])
+        sims[q] = -np.inf
+        order = sorted(range(len(rows)), key=lambda i: (-round(sims[i], 6), i))[:5]
+        for rank, nid in enumerate(order, start=1):
+            gid, gcos = got[(q, rank)]
+            assert gid == nid, (q, rank, gid, nid)
+            assert abs(gcos - round(float(sims[nid]), 6)) < 1e-6
+
+
+def test_lsh_topk_recall(spark):
+    df, rows = _emb(spark, n=60, dim=8)
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(df, queries, k=3)
+    approx = similarity.lsh_topk(df, queries, k=3, dim=8, bits=8, bands=4)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall  # 8-bit sketch on random data: sane recall
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = similarity.embedding_near_dup_pairs(df, threshold=0.99, dim=4, bits=8, bands=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert (0, 2) not in got
+
+
+def test_textstats_native_and_sql_agree(spark):
+    import duckdb
+
+    texts = [
+        "The quick brown fox and the lazy dog.",
+        "der hund und die katze und das haus",
+        "le chat et le chien et les oiseaux des villes",
+        "",
+        "  multiple   spaces   here  ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    out = df.select(
+        "id",
+        textstats.token_count_col(F.col("text")).alias("n_tokens"),
+        textstats.lang_id_col(F.col("text")).alias("pred_lang"),
+        textstats.quality_score_col(text_col="text").alias("quality"),
+    )
+    got = {r.id: (r.n_tokens, r.pred_lang, r.quality) for r in out.collect()}
+    assert got[0][0] == 8 and got[0][1] == "en"
+    assert got[1][1] == "de"
+    assert got[2][1] == "fr"
+    assert got[3][0] == 0 and got[3][1] == "und"
+    assert got[4][0] == 3
+
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        esc = t.replace("'", "''")
+        row = con.execute(
+            f"select {textstats.TOKEN_COUNT_SQL.format(col=f'''CAST('{esc}' AS VARCHAR)''')}, "
+            f"{textstats.lang_id_sql(f'''CAST('{esc}' AS VARCHAR)''')}, "
+            f"{textstats.quality_score_sql(f'''CAST('{esc}' AS VARCHAR)''')}"
+        ).fetchone()
+        assert row[0] == got[i][0], (i, "tokens", row[0], got[i][0])
+        assert row[1] == got[i][1], (i, "lang", row[1], got[i][1])
+        assert abs(row[2] - got[i][2]) < 1e-9, (i, "quality")
+
+
+def test_fingerprint_matches_oracle(spark):
+    df = spark.createDataFrame([(0, "hello world"), (1, "")], ["id", "text"])
+    got = {r.id: r.fp for r in df.select("id", textstats.fingerprint_col(F.col("text")).alias("fp")).collect()}
+    assert got[0] == oracle.rolling_fingerprint("hello world")
+    assert got[1] == 0
+
+
+def test_multimodal_plumbing(spark):
+    from collector_spark.operators import multimodal
+
+    rows = [(i, bytes([i % 256]) * (1024 * (i + 1))) for i in range(6)]
+    df = spark.createDataFrame(rows, ["media_id", "data"])
+    feats = multimodal.extract_media_features(df, media_type="image", fmt="png")
+    out = feats.collect()
+    assert len(out) == 6
+    for r in out:
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert all(0.0 <= f <= 1.0 for f in r.features)
+        assert r.meta.n_bytes == 1024 * (r.media_id + 1)
+        assert r.meta.media_type == "image"
+    # deterministic: same bytes → same features
+    again = {r.media_id: r.features for r in multimodal.extract_media_features(df).collect()}
+    assert all(again[r.media_id] == r.features for r in out)
+
+    frames = multimodal.frame_sample_plan(df)
+    per = {r[0]: 0 for r in rows}
+    for r in frames.collect():
+        per[r.media_id] += 1
+        assert len(r.frame) <= 1024
+    assert per[0] == 1 and per[5] == 6
+
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_media_features(df, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
