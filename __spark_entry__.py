@@ -568,6 +568,277 @@ def q_dedup_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 20. As-of join (custom operator, SURVEY.md §2.7 gap list)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: each trade event gets the latest mark value
+    (right.ts <= left.ts, same event_type). Single shuffle + window sweep,
+    no range cross-join (operators/asof.py)."""
+    from collector_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    marks = (
+        ev.filter(F.col("event_id") % 20 == 0)
+        .groupBy("event_type", "ts")
+        .agg(F.max("value").alias("mark_value"))
+    )
+    trades = ev.filter(F.col("event_id") % 20 != 0).select(
+        "event_id", "event_type", "ts"
+    )
+    out = asof_join(trades, marks, on=["event_type"], ts_col="ts")
+    return out.select("event_id", F.round("mark_value", 4).alias("mark_value"))
+
+
+_SQL_ASOF = """
+WITH marks AS (
+  SELECT event_type, ts, MAX(value) AS mark_value
+  FROM events WHERE event_id % 20 = 0 GROUP BY event_type, ts
+), trades AS (
+  SELECT event_id, event_type, ts FROM events WHERE event_id % 20 <> 0
+)
+SELECT t.event_id, ROUND(m.mark_value, 4) AS mark_value
+FROM trades t ASOF LEFT JOIN marks m
+  ON t.event_type = m.event_type AND t.ts >= m.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# 21. Gap-based sessionization (SURVEY.md §2.7: sessionization)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag(F.col("ts")).over(w)
+    gap = F.expr(f"INTERVAL {_SESSION_GAP_MIN} MINUTES")
+    gapped = ev.withColumn(
+        "new_s",
+        F.when(prev.isNull() | ((F.col("ts") - prev) > gap), 1).otherwise(0),
+    )
+    sess = gapped.withColumn("session_id", F.sum("new_s").over(w))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+    )
+
+
+_SQL_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL {_SESSION_GAP_MIN} MINUTE
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events, MIN(ts) AS session_start
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 22. N-gram Jaccard dedup (training op; exact verify stage after LSH)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs (doc, doc+tail) verified with exact 3-gram Jaccard;
+    shingle sets built JVM-side (operators/dedup.py ngram_jaccard_pairs)."""
+    from collector_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    near = docs.withColumn("doc_id", F.col("doc_id") + 1000000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extra tail words here"))
+    )
+    both = docs.unionAll(near)
+    cand = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
+    )
+    out = ngram_jaccard_pairs(both, cand, shingle_n=3, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+_SQL_NGRAM_JACCARD = r"""
+WITH both_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra tail words here' FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(0, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
+             i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i+1:i+3], ' ')
+           )
+         ) AS shingles
+  FROM both_docs
+)
+SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
+FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shingles, b.shingles))::DOUBLE
+           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
+)
+WHERE jac >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 23. Rollup aggregation (SURVEY.md §2.7: grouping sets)
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.rollup("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_SQL_ROLLUP = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY ROLLUP (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 24. Set ops + distinct (SURVEY.md §2.7: set operations)
+# ---------------------------------------------------------------------------
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one order but no high-value (>400k) order:
+    DISTINCT + EXCEPT."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    all_cust = orders.select("o_custkey").distinct()
+    big_cust = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey").distinct()
+    return all_cust.exceptAll(big_cust)
+
+
+_SQL_SET_OPS = """
+SELECT DISTINCT o_custkey FROM orders
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+"""
+
+
+# ---------------------------------------------------------------------------
+# 25. Shuffle join + aggregation (TPC-H Q3 shape; the big-join path with AQE)
+# ---------------------------------------------------------------------------
+
+
+def q_join_shuffle_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+_SQL_JOIN_SHUFFLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# 26. ANN via LSH buckets (scale path; rows-only — hyperplane family is
+#     md5-seeded, recall pinned vs brute force in tests/test_training_ops.py)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.similarity import lsh_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ)
+    out = lsh_topk(emb, queries, k=_ANN_K, dim=64, bits=16, bands=8)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 27/28. Multimodal plumbing (decode stubbed per build brief; Spark-side
+#        schema/batching real — operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("data")
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.multimodal import extract_media_features
+
+    out = extract_media_features(_media_df(spark, sf_dir), media_type="image", fmt="png")
+    return out.select(
+        "media_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+_SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id, 'image' AS media_type,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature vectors from the stubbed decoder (rows-only: sha256-derived
+    fake features are pinned against the Python oracle in pytest)."""
+    from collector_spark.operators.multimodal import extract_media_features
+
+    out = extract_media_features(_media_df(spark, sf_dir))
+    return out.select("media_id", "features")
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.multimodal import frame_sample_plan
+
+    frames = frame_sample_plan(_media_df(spark, sf_dir))
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    )
+
+
+_SQL_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS n_bytes
+  FROM documents
+)
+SELECT media_id, CAST(u.i AS INT) AS frame_idx,
+       CAST(least(1024, n_bytes - u.i * 1024) AS INT) AS frame_bytes
+FROM m, UNNEST(range(0, greatest(least(CAST(floor(n_bytes / 1024) AS INT), 16), 1))) AS u(i)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -600,6 +871,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_agg": q_token_count_agg,
         "fingerprint_md5": q_fingerprint_md5,
         "fingerprint_rolling": q_dedup_fingerprint_rolling,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "rollup_counts": q_rollup_counts,
+        "set_ops": q_set_ops,
+        "join_shuffle_agg": q_join_shuffle_agg,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -626,4 +907,16 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _sql_quality(),
         "token_count_agg": _sql_token_count_agg(),
         "fingerprint_md5": _SQL_FP,
+        "asof_join": _SQL_ASOF,
+        "sessionize": _SQL_SESSIONIZE,
+        "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "rollup_counts": _SQL_ROLLUP,
+        "set_ops": _SQL_SET_OPS,
+        "join_shuffle_agg": _SQL_JOIN_SHUFFLE,
+        # ann_lsh_topk: md5-seeded hyperplane family — not SQL-expressible;
+        # recall pinned vs brute force in tests/test_training_ops.py.
+        "multimodal_meta": _SQL_MULTIMODAL_META,
+        # multimodal_features: sha256-derived stub features — rows-only,
+        # pinned against the Python path in tests/test_training_ops.py.
+        "frame_sample": _SQL_FRAME_SAMPLE,
     }

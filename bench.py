@@ -51,6 +51,12 @@ BENCH_QUERIES = [
     "token_count_agg",
     "quality_score",
     "lang_id",
+    "asof_join",
+    "sessionize",
+    "dedup_ngram_jaccard",
+    "join_shuffle_agg",
+    "ann_lsh_topk",
+    "multimodal_features",
 ]
 
 
