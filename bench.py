@@ -163,12 +163,10 @@ def main() -> None:
     pages_path = ensure_pages(spark)
 
     # best-of-2 per query: this host exhibits multi-x wall-clock noise
-    # spikes; min is the honest steady-state. Heavy Python-stage queries
-    # run once (their runtime dwarfs the spike amplitude).
-    single_run = {"dedup_minhash_lsh", "dedup_simhash"}
+    # spikes; min is the honest steady-state.
     for name in BENCH_QUERIES:
         fn = queries[name]
-        reps = 1 if name in single_run else 2
+        reps = 2
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -190,9 +188,13 @@ def main() -> None:
     # the Arrow/pandas-UDF extraction path, measured honestly on its own
     from collector_spark.operators.extract import HtmlExtractor as _HX
 
-    t0 = time.perf_counter()
-    _HX(engine="pandas").log_lines(spark.read.parquet(pages_path)).count()
-    timings["pages_extract_udf"] = round(time.perf_counter() - t0, 3)
+    udf_sec = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _HX(engine="pandas").log_lines(spark.read.parquet(pages_path)).count()
+        dt = time.perf_counter() - t0
+        udf_sec = dt if udf_sec is None or dt < udf_sec else udf_sec
+    timings["pages_extract_udf"] = round(udf_sec, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

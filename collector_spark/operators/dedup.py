@@ -69,19 +69,26 @@ def exact_dup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
 
 
 def _make_minhash_udf(num_hashes: int, shingle_n: int, seed: int):
-    coeffs = np.array(oracle._minhash_coeffs(num_hashes, seed), dtype=np.object_)
-    a = coeffs[:, 0].astype(object)  # python ints: 61-bit math overflows int64
-    b = coeffs[:, 1].astype(object)
-    p = oracle._MERSENNE_P
+    # 31-bit family (oracle._MERSENNE_P = 2^31-1): a*h+b < 2^62 fits
+    # uint64, so the whole (k, n_shingles) affine matrix runs in native
+    # numpy — no Python bigints anywhere in the hot path.
+    coeffs = np.array(oracle._minhash_coeffs(num_hashes, seed), dtype=np.uint64)
+    a = coeffs[:, 0][:, None]  # (k, 1)
+    b = coeffs[:, 1][:, None]
+    p = np.uint64(oracle._MERSENNE_P)
+    zero_sig = [0] * num_hashes
 
     def sig_one(text: str) -> list[int]:
         shingles = oracle.word_shingles(text or "", shingle_n)
         if not shingles:
-            return [0] * num_hashes
-        hs = np.array([oracle.shingle_hash(s) for s in shingles], dtype=object)
-        # (k, n) affine matrix, min over shingles — vectorized in numpy
-        m = (a[:, None] * hs[None, :] + b[:, None]) % p
-        return [int(x) for x in m.min(axis=1)]
+            return zero_sig
+        hs = np.fromiter(
+            (oracle.shingle_hash(s) for s in shingles),
+            dtype=np.uint64,
+            count=len(shingles),
+        )
+        m = (a * hs[None, :] + b) % p  # (k, n) uint64
+        return m.min(axis=1).astype(np.int64).tolist()
 
     def udf(s: pd.Series) -> pd.Series:
         return s.map(sig_one)
@@ -229,9 +236,26 @@ def ngram_jaccard_pairs(
 
 
 def _simhash_udf():
+    # vectorized bit-vote tally; semantics identical to oracle.simhash64
+    # (md5(token) low-64 bits, vote +1/-1 per bit, bit set iff votes > 0)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
     def one(text: str) -> int:
         toks = (text or "").split()
-        h = oracle.simhash64(toks)
+        if not toks:
+            return 0
+        vs = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                for t in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = (vs[:, None] >> shifts) & np.uint64(1)  # (n, 64)
+        votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
+        h = int((weights * (votes > 0)).sum(dtype=np.uint64))
         return h - (1 << 64) if h >= (1 << 63) else h  # to signed i64
 
     def udf(s: pd.Series) -> pd.Series:
