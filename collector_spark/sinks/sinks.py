@@ -7,9 +7,11 @@ Mapping from the reference's outputs (internal/app/builtin.go:46-57):
 | file                  | FileSink (text lines, templated path, rotation  |
 |                       | via maxRecordsPerFile)                          |
 | stdout                | ConsoleSink (debug)                             |
-| s3 / gcs              | ParquetSink/FileSink with s3a:// gs:// paths —  |
-|                       | cloud FS is a Hadoop connector concern, not an  |
-|                       | operator; gzip → option("compression")          |
+| s3 / gcs              | S3Sink / GcsSink — named wrappers building the  |
+|                       | s3a:// gs:// target (cloud FS auth/multipart is |
+|                       | a Hadoop connector concern); gzip →             |
+|                       | option("compression"); gcs composite append →   |
+|                       | append-mode parts under one object prefix       |
 | kafka / pubsub / http | KafkaSink (format("kafka"), gated: no broker in |
 |                       | sandbox) / foreachPartition HTTP poster stub    |
 | log_analytics         | signed-HTTP poster (HMAC util in functions/),   |
@@ -137,6 +139,39 @@ def _count_written_parquet(spark, target: str) -> int:
     return spark.read.parquet(target).count()
 
 
+class S3Sink(FileSink):
+    """Named s3 output (internal/output/s3/s3.go:60-183): templated key
+    under a bucket, optional gzip (s3.go:64-111). Multipart sizing is a
+    Hadoop s3a committer concern (fs.s3a.multipart.size replaces the
+    5MB→512MB part ladder, s3.go:189-214); ``scheme`` is overridable so
+    tests exercise the path/gzip plumbing on file://."""
+
+    def __init__(self, bucket: str, path: str, gzip: bool = False, scheme: str = "s3a", **kw):
+        super().__init__(path=f"{scheme}://{bucket}/{path.lstrip('/')}", gzip=gzip, **kw)
+
+
+class GcsSink(FileSink):
+    """Named gcs output (internal/output/gcs/gcs.go:67-153). The
+    composite object-append mode (gcs.go:97-141) maps to append-mode
+    writes into the templated prefix — new part files per batch instead
+    of GCS compose calls."""
+
+    def __init__(self, bucket: str, path: str, composite: bool = False, scheme: str = "gs", **kw):
+        super().__init__(path=f"{scheme}://{bucket}/{path.lstrip('/')}", **kw)
+        self.composite = composite
+
+    def write(self, df: DataFrame, batch_id: int | None = None) -> int:
+        if not self.composite:
+            return super().write(df, batch_id=batch_id)
+        # composite append: accumulate parts under ONE object prefix
+        target = _templated(self.path)
+        out = df.select(F.col(self.value_col).cast("string").alias("value"))
+        out = out.filter(F.length(F.trim("value")) > 0)
+        cnt = out.count()
+        out.write.mode("append").text(target)
+        return cnt
+
+
 def _http_sinks():
     from collector_spark.sinks.http_sinks import HttpSink, LogAnalyticsSink, PubSubSink
 
@@ -148,6 +183,8 @@ SINK_REGISTRY = {
     "file": FileSink,
     "stdout": ConsoleSink,
     "kafka": KafkaSink,
+    "s3": S3Sink,
+    "gcs": GcsSink,
 }
 SINK_REGISTRY.update(_http_sinks())
 

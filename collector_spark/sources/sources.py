@@ -157,11 +157,114 @@ class SocketSource:
         )
 
 
+class HttpPollerSource:
+    """msgraph-style incremental API poller (internal/input/msgraph/
+    msgraph.go:90-222): pull a time window (last_cursor, now], paginate
+    with a continuation token, JSON-compact each item, and advance the
+    cursor ONLY when the whole window succeeded (msgraph.go:105-132 —
+    a partial failure re-reads the same window next tick; duplicates are
+    the accepted at-least-once cost).
+
+    The HTTP call is injected (``fetcher``) like the HTTP sinks' poster:
+    fetcher(start_iso, end_iso, page_token) -> (items: list, next_token).
+    Real deployments pass a requests-based fetcher with auth; the sandbox
+    tests pagination/cursor semantics with a fake. ``page_size`` mirrors
+    msgraph's $top=1000 (msgraph.go:131).
+    """
+
+    def __init__(
+        self,
+        fetcher,
+        page_size: int = 1000,
+        now_fn=None,
+        epoch: str = "1970-01-01T00:00:00",
+    ):
+        if fetcher is None:
+            raise ValueError("fetcher callable is required")
+        self.fetcher = fetcher
+        self.page_size = page_size
+        self.now_fn = now_fn
+        self.epoch = epoch
+
+    def read_new(
+        self, spark: SparkSession, state: dict | None
+    ) -> tuple[DataFrame, dict]:
+        import json as _json
+        from datetime import datetime, timezone
+
+        start = (state or {}).get("last_ts") or self.epoch
+        end = (
+            self.now_fn()
+            if self.now_fn
+            else datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
+        )
+        items: list[str] = []
+        token = None
+        try:
+            while True:
+                page, token = self.fetcher(start, end, token)
+                # compact like pretty.Ugly (msgraph.go:145-151)
+                items.extend(
+                    _json.dumps(it, separators=(",", ":")) if not isinstance(it, str) else it
+                    for it in page
+                )
+                if token is None:
+                    break
+        except Exception:
+            # window failed → cursor unchanged, rows dropped (retry next tick)
+            df = spark.createDataFrame([], "value: string")
+            return df, dict(state or {"last_ts": start})
+        df = spark.createDataFrame([(l,) for l in items] or [], "value: string")
+        return df, {"last_ts": end}
+
+
+class QueuePollerSource:
+    """sqs/pubsub-style queue consumer (internal/input/sqs/sqs.go:61-158,
+    pubsub/pubsub.go:66-143): receive up to ``max_messages`` per poll,
+    drop empty bodies, stop when a poll comes back short (queue drained).
+    ``receiver(n) -> list[str|None]`` is injected; a real deployment
+    passes a boto3/pubsub receiver; ack-on-success ≈ the Pipeline's
+    commit-after-sinks ordering."""
+
+    def __init__(self, receiver, max_messages: int = 10_000, max_polls: int = 100):
+        if receiver is None:
+            raise ValueError("receiver callable is required")
+        self.receiver = receiver
+        self.max_messages = max_messages
+        self.max_polls = max_polls
+
+    def read_new(
+        self, spark: SparkSession, state: dict | None
+    ) -> tuple[DataFrame, dict]:
+        lines: list[str] = []
+        polls = 0
+        while polls < self.max_polls:
+            batch = self.receiver(self.max_messages)
+            polls += 1
+            for body in batch:
+                if body is None:
+                    continue
+                body = str(body).strip()
+                if body:  # drop empty (sqs.go:120-127)
+                    lines.append(body)
+            if len(batch) < self.max_messages:
+                break
+        df = spark.createDataFrame([(l,) for l in lines] or [], "value: string")
+        new_state = dict(state or {})
+        new_state["polled"] = new_state.get("polled", 0) + len(lines)
+        return df, new_state
+
+
 SOURCE_REGISTRY = {
     "file": FileSource,
     "incremental": IncrementalSource,
     "kafka": KafkaSource,
     "socket": SocketSource,
+    "http_poller": HttpPollerSource,
+    "msgraph": HttpPollerSource,  # reference name alias
+    "queue": QueuePollerSource,
+    "sqs": QueuePollerSource,  # reference name aliases
+    "pubsub": QueuePollerSource,
 }
 
 

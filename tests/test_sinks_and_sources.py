@@ -118,6 +118,99 @@ def test_incremental_source_watermark_cursor(spark, tmp_path, sf_dir):
     assert state2["last_ts"] == state1["last_ts"]
 
 
+def test_http_poller_source_pagination_and_cursor(spark):
+    """msgraph semantics: paginate with $skiptoken-style continuation,
+    advance cursor only on full-window success (msgraph.go:105-132)."""
+    from collector_spark.sources.sources import HttpPollerSource
+
+    calls = []
+
+    def fetcher(start, end, token):
+        calls.append((start, end, token))
+        if token is None:
+            return [{"id": 1}, {"id": 2}], "page2"
+        return [{"id": 3}], None
+
+    src = HttpPollerSource(fetcher, now_fn=lambda: "2024-06-01T00:00:00")
+    df, state = src.read_new(spark, None)
+    vals = sorted(r.value for r in df.collect())
+    assert vals == ['{"id":1}', '{"id":2}', '{"id":3}']  # compacted JSON
+    assert state == {"last_ts": "2024-06-01T00:00:00"}
+    assert [c[2] for c in calls] == [None, "page2"]
+    # next window starts at the committed cursor
+    calls.clear()
+    src2 = HttpPollerSource(
+        lambda s, e, t: ([], None), now_fn=lambda: "2024-06-02T00:00:00"
+    )
+    df2, state2 = src2.read_new(spark, state)
+    assert df2.count() == 0 and state2 == {"last_ts": "2024-06-02T00:00:00"}
+
+
+def test_http_poller_source_failed_window_keeps_cursor(spark):
+    from collector_spark.sources.sources import HttpPollerSource
+
+    def flaky(start, end, token):
+        if token is None:
+            return [{"id": 1}], "page2"
+        raise ConnectionError("boom")
+
+    src = HttpPollerSource(flaky, now_fn=lambda: "2024-06-01T00:00:00")
+    df, state = src.read_new(spark, {"last_ts": "2024-05-01T00:00:00"})
+    # partial failure → no rows emitted, cursor NOT advanced
+    assert df.count() == 0
+    assert state == {"last_ts": "2024-05-01T00:00:00"}
+
+
+def test_queue_poller_source_drains_and_drops_empty(spark):
+    from collector_spark.sources.sources import QueuePollerSource
+
+    queue = [["a", "", None, "b"], ["c"], []]
+
+    def receiver(n):
+        return queue.pop(0) if queue else []
+
+    src = QueuePollerSource(receiver, max_messages=4)
+    df, state = src.read_new(spark, None)
+    # first poll returns 4 (full) → poll again; second short → stop
+    assert sorted(r.value for r in df.collect()) == ["a", "b", "c"]
+    assert state["polled"] == 3
+    assert queue == [[]]  # third poll never issued
+
+
+def test_s3_gcs_sinks_path_and_modes(spark, tmp_path):
+    from collector_spark.sinks.sinks import GcsSink, S3Sink
+
+    df = spark.createDataFrame([("x",), ("y",), (" ",)], ["value"])
+    s3 = S3Sink(bucket=str(tmp_path / "bkt"), path="logs/%year%/out",
+                gzip=True, scheme="file")
+    n = s3.write(df, batch_id=0)
+    assert n == 2  # blank line dropped (tmp_writer.go:54-56)
+    year = datetime.now(timezone.utc).strftime("%Y")
+    target = tmp_path / "bkt" / "logs" / year / "out" / "batch_id=0"
+    assert any(f.endswith(".gz") for f in os.listdir(target) if f.startswith("part-"))
+
+    gcs = GcsSink(bucket=str(tmp_path / "gbkt"), path="obj",
+                  composite=True, scheme="file")
+    assert gcs.write(df) == 2
+    assert gcs.write(df) == 2  # composite append accumulates
+    obj = tmp_path / "gbkt" / "obj"
+    assert spark.read.text(str(obj)).count() == 4
+
+
+def test_source_registry_aliases():
+    from collector_spark.sources.sources import (
+        HttpPollerSource,
+        QueuePollerSource,
+        make_source,
+    )
+
+    assert isinstance(make_source("msgraph", fetcher=lambda s, e, t: ([], None)), HttpPollerSource)
+    assert isinstance(make_source("sqs", receiver=lambda n: []), QueuePollerSource)
+    assert isinstance(make_source("pubsub", receiver=lambda n: []), QueuePollerSource)
+    with pytest.raises(ValueError):
+        make_source("nope")
+
+
 def test_parquet_sink_partition_by(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "a")], ["id", "part"]

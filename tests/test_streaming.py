@@ -54,6 +54,56 @@ def test_streaming_pipeline_foreachbatch(spark, tmp_path):
     assert [json.loads(r.value)["i"] for r in b1.collect()] == [1000]
 
 
+def test_stateful_running_counts_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: per-key totals must ACCUMULATE across
+    micro-batches (file 2 arrives after the first trigger) — the
+    cross-batch state the reference cannot express."""
+    from collector_spark.streaming.stateful import running_counts
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"event_type": "click", "value": 1.0},
+                {"event_type": "click", "value": 2.0},
+                {"event_type": "view", "value": 5.0},
+            ]
+        )
+    )
+    stream = spark.readStream.schema("event_type string, value double").json(
+        str(in_dir)
+    )
+    out = running_counts(stream, key_col="event_type", value_col="value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (in_dir / "b2.json").write_text(
+            json.dumps({"event_type": "click", "value": 10.0})
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("select * from running").collect()
+    # last update per key wins
+    latest = {}
+    for r in rows:
+        latest[r.key] = r
+    assert latest["click"].total_rows == 3
+    assert latest["click"].total_value == 13.0
+    assert latest["click"].batches == 2
+    assert latest["view"].total_rows == 1
+    assert latest["view"].batches == 1
+
+
 def test_windowed_counts_batch_semantics(spark, sf_dir):
     """windowed_counts is stream-first but the same plan runs on a batch
     DF — verify the tumbling-window math against a groupBy date_trunc."""
