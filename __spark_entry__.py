@@ -778,6 +778,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list ANN with all lists probed → exact results, so
+    the brute-force DuckDB oracle applies (the approximate path is
+    recall-tested in tests/test_training_ops.py)."""
+    from collector_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ)
+    out = ivf_topk(
+        emb, queries, k=_ANN_K, dim=64, n_centroids=16, n_probe=16
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 27/28. Multimodal plumbing (decode stubbed per build brief; Spark-side
 #        schema/batching real — operators/multimodal.py)
@@ -878,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "join_shuffle_agg": q_join_shuffle_agg,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
@@ -915,6 +932,8 @@ def oracle_sql() -> dict[str, str]:
         "join_shuffle_agg": _SQL_JOIN_SHUFFLE,
         # ann_lsh_topk: md5-seeded hyperplane family — not SQL-expressible;
         # recall pinned vs brute force in tests/test_training_ops.py.
+        # ann_ivf_topk with n_probe = n_centroids is EXACT → brute-force oracle
+        "ann_ivf_topk": _SQL_ANN,
         "multimodal_meta": _SQL_MULTIMODAL_META,
         # multimodal_features: sha256-derived stub features — rows-only,
         # pinned against the Python path in tests/test_training_ops.py.

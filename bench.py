@@ -29,9 +29,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SEED = 42
 
-# pages-table size scales with sf (sf0.1 → 40k pages, 3 log lines each)
+# pages-table size scales with sf (sf0.1 → 40k pages, 3 log lines each);
+# SPARK_GRAFT_PAGES_N overrides (bench_scaling uses a larger table so the
+# parallel region dominates fixed job overhead)
 _SF_FROM_DIR = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
-N_PAGES = max(int(400_000 * _SF_FROM_DIR), 200)
+N_PAGES = int(
+    os.environ.get("SPARK_GRAFT_PAGES_N", max(int(400_000 * _SF_FROM_DIR), 200))
+)
 
 BENCH_QUERIES = [
     "pipeline_parse_route_agg",
@@ -77,15 +81,20 @@ def ensure_pages(spark) -> str:
 def run_pages_pipeline(spark, pages_path: str) -> dict:
     """The north-star job: scan pages → extract text + log lines (Arrow
     UDF over binary html) → CEL filter → JSON mutate → enrich (broadcast
-    domain/tld lookups) → route to sinks → per-sink aggregate counts."""
+    domain/tld lookups) → route → aggregate.
+
+    ONE pass: per-category aggregation carries the per-route match sums,
+    so per-sink counts (sum over categories) and the category rollup come
+    out of a single map + one tiny shuffle — no persist, no second job.
+    (Multi-sink WRITES need the persisted fan-out — that path is
+    Pipeline.run_batch, exercised by the e2e tests and the verify drive;
+    an aggregate-only pipeline should not pay a cache materialization.)"""
     from collector_spark.datagen import lookup_dfs
     from collector_spark.operators.cel import CelFilter
     from collector_spark.operators.enrich import url_domain, url_tld
     from collector_spark.operators.extract import HtmlExtractor
     from collector_spark.operators.json_mutate import JsonMutator
     from collector_spark.operators.router import Route, Router
-
-    from pyspark import StorageLevel
 
     pages = spark.read.parquet(pages_path)
     lookups = lookup_dfs(spark, SEED)
@@ -109,27 +118,22 @@ def run_pages_pipeline(spark, pages_path: str) -> dict:
         .join(F.broadcast(lookups["domain_map"]), "domain", "left")
         .join(F.broadcast(lookups["tld_map"]), "tld", "left")
     )
-    # the parse stage (Python UDFs over html) runs ONCE; every downstream
-    # aggregate / sink reads the persisted columnar result — same strategy
-    # as Pipeline.run_batch's fan-out (router.split persists too)
-    enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        router = Router(
-            [
-                Route("ok", "event.code == 200"),
-                Route("errors", "event.code >= 400"),
-                Route("all", None),
-            ]
-        )
-        counts = {r.sink: r.cnt for r in router.sink_counts(enriched).collect()}
-        top = (
-            enriched.groupBy("category")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
-    finally:
-        enriched.unpersist()
-    return {"sink_counts": counts, "n_categories": len(top)}
+    router = Router(
+        [
+            Route("ok", "event.code == 200"),
+            Route("errors", "event.code >= 400"),
+            Route("all", None),
+        ]
+    )
+    aggs = [
+        F.sum(col.cast("long")).alias(name) for name, col in router._route_cols()
+    ]
+    per_cat = enriched.groupBy("category").agg(*aggs).collect()
+    counts = {
+        name: int(sum(r[name] or 0 for r in per_cat))
+        for name, _ in router._route_cols()
+    }
+    return {"sink_counts": counts, "n_categories": len(per_cat)}
 
 
 def main() -> None:

@@ -35,6 +35,11 @@ class BatchRecord:
     source_state: dict = field(default_factory=dict)
     per_stage_counts: dict = field(default_factory=dict)
     per_sink_counts: dict = field(default_factory=dict)
+    # per-partition lineage: {spark_partition_id: rows surviving the
+    # processor chain} — the partition-granular progress/skew record the
+    # north rule asks for (and the reference's per-batch ResultCount,
+    # pkg/core/channel.go:3-8, generalized below file granularity)
+    partition_counts: dict = field(default_factory=dict)
     committed_at: float = 0.0
 
 

@@ -195,8 +195,15 @@ def gen_pages_df(spark: SparkSession, n: int, seed: int = 42, partitions: int | 
     )
 
 
-def write_pages(spark: SparkSession, path: str, n: int, seed: int = 42) -> None:
-    gen_pages_df(spark, n, seed).write.mode("overwrite").parquet(path)
+def write_pages(
+    spark: SparkSession, path: str, n: int, seed: int = 42, partitions: int = 128
+) -> None:
+    """Fixed partition count so the on-disk layout (and thus scan split
+    behavior) is identical no matter which parallelism level generated
+    the cache — required for fair local[8]-vs-local[32] comparisons."""
+    gen_pages_df(spark, n, seed, partitions=partitions).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 # ---------------------------------------------------------------------------

@@ -14,7 +14,7 @@ left rows at equal timestamps so an exact-ts match is visible). Cost is
 one shuffle + one sort per key partition — the same plan shape Spark
 uses for any window aggregate, so it survives a 1000-executor scale-up
 as long as single keys fit a partition (salt upstream if one key
-dominates; see operators/enrich.py salting helpers).
+dominates; see operators/salt.py).
 """
 
 from __future__ import annotations

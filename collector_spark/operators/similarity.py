@@ -174,6 +174,88 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def _centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
+    """Deterministic L2-normalized pseudo-random centroids (md5-seeded,
+    identical on every executor — same trick as _hyperplanes). A k-means
+    refinement would sharpen recall; the partition/probe mechanics are
+    identical either way."""
+    raw = []
+    for i in range(n_centroids * dim):
+        d = hashlib.md5(f"ivf:{seed}:{i}".encode()).digest()
+        raw.append((int.from_bytes(d[:8], "big") / float(1 << 64)) * 2 - 1)
+    c = np.array(raw, dtype=np.float64).reshape(n_centroids, dim)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _make_assign_udf(dim: int, n_centroids: int, seed: int, n_probe: int):
+    planes = _centroids(dim, n_centroids, seed)
+
+    def udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            mat = np.stack(s.map(lambda v: np.asarray(v, dtype=np.float64)).values)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ planes.T  # (n, c)
+            # top n_probe centroid ids per vector, best first
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            yield pd.Series(list(top.astype(np.int32)))
+
+    return F.pandas_udf(udf, T.ArrayType(T.IntegerType()))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in ONE inverted list
+    (their nearest centroid); each query probes its ``n_probe`` nearest
+    lists and re-ranks exactly within them.
+
+    Scale shape: the corpus is partitioned by centroid id (a bounded-
+    cardinality key — repartition once, reuse for every query batch);
+    per-query work is |corpus|*(n_probe/n_centroids) instead of |corpus|.
+    Recall tuning is n_probe (and centroid quality); n_probe=n_centroids
+    degrades gracefully to exact brute force.
+    """
+    assign = _make_assign_udf(dim, n_centroids, seed, 1)
+    probe = _make_assign_udf(dim, n_centroids, seed, n_probe)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.explode(assign(F.col(vec_col))).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probe(F.col(vec_col))).alias("list_id"),
+    )
+    sim = F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6)
+    # each corpus vector is in exactly ONE list → a (query, neighbor)
+    # pair can only arise once; no dedup shuffle needed
+    scored = (
+        q.join(c, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -148,6 +148,7 @@ class Pipeline:
         out = self.transform(df, observations=observations)
 
         per_sink: dict[str, int] = {}
+        partition_counts: dict[str, int] = {}
         wrote_any = False
         if self.router is not None:
             views = self.router.split(out, persist=True)
@@ -155,6 +156,16 @@ class Pipeline:
                 for name, view in views.items():
                     per_sink[name] = self.sinks[name].write(view, batch_id=batch_id)
                     wrote_any = True
+                # per-partition lineage over the persisted parent (cheap:
+                # no recompute, one count per cached partition)
+                partition_counts = {
+                    str(r.pid): r.rows
+                    for r in out.groupBy(
+                        F.spark_partition_id().alias("pid")
+                    )
+                    .agg(F.count(F.lit(1)).alias("rows"))
+                    .collect()
+                }
             finally:
                 out.unpersist()
 
@@ -168,6 +179,7 @@ class Pipeline:
             source_state=source_state or {},
             per_stage_counts=per_stage,
             per_sink_counts=per_sink,
+            partition_counts=partition_counts,
         )
         if self.manifest is not None:
             self.manifest.commit(record)  # AFTER sinks — reference order

@@ -46,6 +46,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # throughput batch engine: ParallelGC beats G1 decisively on
+        # allocation-heavy string/regex work at high thread counts
+        # (measured 4-10x on this class of hardware); pause times are
+        # irrelevant for batch. Applied to BOTH driver (== executor in
+        # local mode) and executors (cluster submit).
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

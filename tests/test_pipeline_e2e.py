@@ -80,10 +80,14 @@ def test_pipeline_end_to_end_with_manifest(spark, tmp_path):
         assert obj["env"] == "prod"
         assert obj["code"] == 200
 
+    # per-partition lineage: partition counts sum to the surviving rows
+    assert sum(record.partition_counts.values()) == record.per_sink_counts["archive"]
+
     # manifest committed after sinks
     m = Manifest(str(tmp_path / "state"), "t1")
     assert m.last_batch_id() == 0
     assert m.last_state() == {"offset": n}
+    assert sum(m.load()[-1].partition_counts.values()) == record.per_sink_counts["archive"]
 
 
 def test_resume_idempotence(spark, tmp_path):

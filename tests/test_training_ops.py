@@ -113,6 +113,23 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.5, recall  # 8-bit sketch on random data: sane recall
 
 
+def test_ivf_topk_recall_and_exact_degradation(spark):
+    df, rows = _emb(spark, n=60, dim=8)
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(df, queries, k=3)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    # probing ALL lists must degrade to exact brute force
+    full = similarity.ivf_topk(df, queries, k=3, dim=8, n_centroids=4, n_probe=4)
+    full_set = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    assert full_set == exact_set
+
+    # probing half the lists: sane recall on random data
+    approx = similarity.ivf_topk(df, queries, k=3, dim=8, n_centroids=4, n_probe=2)
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(approx_set & exact_set) / len(exact_set) >= 0.5
+
+
 def test_embedding_near_dup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
