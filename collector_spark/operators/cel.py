@@ -801,15 +801,22 @@ class CelFilter:
         return pred
 
     def apply(self, df: DataFrame) -> DataFrame:
+        df, keep = self.tag(df)
+        return df.filter(keep)
+
+    def tag(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        """Non-dropping variant: returns (df, keep boolean) for the
+        quarantine/dead-letter path (Pipeline.run_batch)."""
+        valid = F.lit(True)
         if self.mode == "json":
-            # drop empty / non-JSON lines before evaluation (cel.go:56-70)
+            # empty / non-JSON lines are non-matches (cel.go:56-70)
             df = df.withColumn(self.value_col, F.trim(F.col(self.value_col)))
-            df = df.filter(
-                (F.length(self.value_col) > 0)
-                & F.try_parse_json(F.col(self.value_col)).isNotNull()
-            )
+            valid = (F.length(self.value_col) > 0) & F.try_parse_json(
+                F.col(self.value_col)
+            ).isNotNull()
         pred = self.predicate()
-        return df.filter(pred if self.action == "accept" else ~pred)
+        keep = pred if self.action == "accept" else ~pred
+        return df, valid & F.coalesce(keep, F.lit(False))
 
     def sql_predicate(self) -> str:
         """DuckDB boolean expression equivalent to predicate()."""

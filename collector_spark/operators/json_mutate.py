@@ -100,10 +100,19 @@ class JsonMutator:
             return self._apply_columns(df)
         if self.engine == "native":
             return self._apply_native(df)
+        df, keep = self.tag(df)
+        return df.filter(keep)
+
+    def tag(self, df: DataFrame) -> tuple[DataFrame, "F.Column"]:
+        """Non-dropping variant for the quarantine path (always the
+        oracle-UDF engine — the native fast path interleaves its own
+        validity filter with string surgery)."""
+        if self.mode == "columns":
+            return self._apply_columns(df), F.lit(True)
         udf = make_mutate_udf(self.add, self.remove, self.replace)
         out = df.withColumn(self.value_col, udf(F.col(self.value_col)))
-        # non-JSON → None → dropped (json.go:88-99)
-        return out.filter(F.col(self.value_col).isNotNull())
+        # non-JSON → None → quarantined (json.go:88-99)
+        return out, F.col(self.value_col).isNotNull()
 
     def _apply_native(self, df: DataFrame) -> DataFrame:
         """Top-level add on compact JSON object lines as pure Catalyst

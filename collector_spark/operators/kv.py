@@ -130,15 +130,22 @@ class KvParser:
         self.as_json = as_json
 
     def apply(self, df: DataFrame) -> DataFrame:
+        df, keep = self.tag(df)
+        return df.filter(keep)
+
+    def tag(self, df: DataFrame) -> tuple[DataFrame, "F.Column"]:
+        """Non-dropping variant for the quarantine path: adds the parse
+        output and returns the parse-success boolean instead of
+        filtering."""
         col = F.col(self.value_col)
         if self.as_json:
             udf = kv_json_udf if self.type == "raw" else cef_json_udf
             out = df.withColumn(self.value_col, udf(col))
-            return out.filter(F.col(self.value_col).isNotNull())
+            return out, F.col(self.value_col).isNotNull()
         if self.type == "raw":
             out = df.withColumn("parsed", kv_parse_udf(col))
-            return out.filter(F.col("parsed").isNotNull())
+            return out, F.col("parsed").isNotNull()
         out = df.withColumn("parsed", cef_parse_udf(col))
         # all-NULL struct marks a parse failure (version is never null
         # on success — it is validated as 'CEF:<v>' or an integer)
-        return out.filter(F.col("parsed.version").isNotNull())
+        return out, F.col("parsed.version").isNotNull()

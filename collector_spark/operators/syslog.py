@@ -64,6 +64,16 @@ class SyslogParser:
             out = out.filter(F.col(self.value_col).isNotNull())
         return out
 
+    def tag(self, df: DataFrame) -> tuple[DataFrame, Column]:
+        """Non-dropping variant for the quarantine path."""
+        trimmed = F.trim(F.col(self.value_col))
+        nonempty = F.length(trimmed) > 0
+        out = df.withColumn(self.value_col, _MODES[self.type](trimmed))
+        keep = nonempty
+        if self.type != "raw":
+            keep = keep & F.col(self.value_col).isNotNull()
+        return out, keep
+
     def sql_expr(self, col: str = "value") -> str:
         """Equivalent DuckDB expression for the oracle gate."""
         if self.type == "raw":

@@ -50,6 +50,10 @@ class PipelineConfig:
     sinks: list[SinkSpec] = field(default_factory=list)
     mode: str = "json"  # payload model for cel/json processors
     value_col: str = "value"
+    # dead-letter sink config {kind, ...}: rows any processor would DROP
+    # (reference: silent drop, manager.go:166-169 / per-processor skips)
+    # are written here instead, as (original value, fail_stage)
+    quarantine: dict | None = None
 
     @classmethod
     def from_json(cls, text: str) -> "PipelineConfig":
@@ -100,6 +104,18 @@ class Pipeline:
             else None
         )
         self.sinks = {s.name: make_sink(s.kind, **s.config) for s in config.sinks}
+        if config.quarantine:
+            q = dict(config.quarantine)
+            self.quarantine_sink = make_sink(q.pop("kind"), **q)
+            missing = [
+                kind for kind, st in self.stages if not hasattr(st, "tag")
+            ]
+            if missing:
+                raise ValueError(
+                    f"quarantine mode needs tag() on every stage; missing: {missing}"
+                )
+        else:
+            self.quarantine_sink = None
         self.manifest = (
             Manifest(state_dir, config.instance_id) if state_dir else None
         )
@@ -123,6 +139,38 @@ class Pipeline:
                 observations[f"stage_{i}_{kind}"] = obs
         return df
 
+    def transform_tagged(
+        self, df: DataFrame
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Quarantine variant of transform(): every stage TAGS instead of
+        filters; a row's first failing stage is recorded. Returns
+        (tagged_parent, kept, quarantined) — kept/quarantined are cheap
+        filtered views of the parent (persist the parent to share the
+        parse work). ``quarantined`` carries the ORIGINAL input value
+        plus ``fail_stage`` — the dead-letter record replacing the
+        reference's silent drops (manager.go:166-169)."""
+        vc = self.config.value_col
+        df = df.withColumn("_orig", F.col(vc))
+        ok_cols: list[tuple[str, str]] = []
+        for i, (kind, stage) in enumerate(self.stages):
+            df, keep = stage.tag(df)
+            name = f"stage_{i}_{kind}"
+            ok_col = f"_ok_{i}"
+            df = df.withColumn(
+                ok_col, F.coalesce(keep.cast("boolean"), F.lit(False))
+            )
+            ok_cols.append((ok_col, name))
+        fail = F.lit(None).cast("string")
+        for ok_col, name in reversed(ok_cols):
+            fail = F.when(~F.col(ok_col), F.lit(name)).otherwise(fail)
+        tagged = df.withColumn("_fail_stage", fail)
+        helper_cols = ["_orig", "_fail_stage"] + [c for c, _ in ok_cols]
+        kept = tagged.filter(F.col("_fail_stage").isNull()).drop(*helper_cols)
+        quarantined = tagged.filter(F.col("_fail_stage").isNotNull()).select(
+            F.col("_orig").alias(vc), F.col("_fail_stage").alias("fail_stage")
+        )
+        return tagged, kept, quarantined
+
     # -- execution -----------------------------------------------------------
 
     def run_batch(
@@ -143,6 +191,9 @@ class Pipeline:
             and self.manifest.committed(batch_id)
         ):
             return BatchRecord(batch_id=batch_id, source_state=source_state or {})
+
+        if self.quarantine_sink is not None:
+            return self._run_batch_quarantine(df, batch_id, source_state)
 
         observations: dict[str, Observation] = {}
         out = self.transform(df, observations=observations)
@@ -183,6 +234,44 @@ class Pipeline:
         )
         if self.manifest is not None:
             self.manifest.commit(record)  # AFTER sinks — reference order
+        return record
+
+    def _run_batch_quarantine(
+        self, df: DataFrame, batch_id: int, source_state: dict | None
+    ) -> BatchRecord:
+        """run_batch with the dead-letter path: one persisted tagged pass;
+        kept rows fan out to the routed sinks, dropped rows (original
+        value + first failing stage) go to the quarantine sink."""
+        from pyspark import StorageLevel
+
+        tagged, kept, quarantined = self.transform_tagged(df)
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+        per_sink: dict[str, int] = {}
+        partition_counts: dict[str, int] = {}
+        try:
+            if self.router is not None:
+                views = self.router.split(kept, persist=False)
+                for name, view in views.items():
+                    per_sink[name] = self.sinks[name].write(view, batch_id=batch_id)
+            per_sink["__quarantine__"] = self.quarantine_sink.write(
+                quarantined, batch_id=batch_id
+            )
+            partition_counts = {
+                str(r.pid): r.rows
+                for r in kept.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            }
+        finally:
+            tagged.unpersist()
+        record = BatchRecord(
+            batch_id=batch_id,
+            source_state=source_state or {},
+            per_sink_counts=per_sink,
+            partition_counts=partition_counts,
+        )
+        if self.manifest is not None:
+            self.manifest.commit(record)
         return record
 
     def sink_counts(self, df: DataFrame) -> DataFrame:

@@ -120,6 +120,76 @@ def test_resume_idempotence(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out" / "batch_id=0")).count() == 10
 
 
+def test_quarantine_dead_letter_path(spark, tmp_path):
+    """Rows any processor would drop land in the quarantine sink with the
+    ORIGINAL line and the first failing stage — replacing the reference's
+    silent drops (manager.go:166-169). Kept rows match the normal path."""
+    lines = [
+        '{"code": 200, "i": 0}',   # passes everything
+        '{"code": 500, "i": 1}',   # fails cel
+        "not json at all",          # fails cel (invalid json)
+        '{"code": 200, "i": 3}',   # passes
+        "",                         # fails cel (empty)
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    config = PipelineConfig(
+        instance_id="q1",
+        processors=[
+            {"kind": "cel", "rules": ["event.code == 200"]},
+            {"kind": "json", "add": [{"key": "env", "value": "prod"}]},
+        ],
+        sinks=[SinkSpec("out", "parquet", None, {"path": str(tmp_path / "out")})],
+        quarantine={"kind": "parquet", "path": str(tmp_path / "quar")},
+    )
+    pipe = Pipeline(config, state_dir=str(tmp_path / "state"))
+    record = pipe.run_batch(df, batch_id=0)
+
+    assert record.per_sink_counts["out"] == 2
+    assert record.per_sink_counts["__quarantine__"] == 3
+
+    kept = spark.read.parquet(str(tmp_path / "out" / "batch_id=0")).collect()
+    assert sorted(json.loads(r.value)["i"] for r in kept) == [0, 3]
+    assert all(json.loads(r.value)["env"] == "prod" for r in kept)
+
+    quar = spark.read.parquet(str(tmp_path / "quar" / "batch_id=0")).collect()
+    got = {r.value: r.fail_stage for r in quar}
+    assert got == {
+        '{"code": 500, "i": 1}': "stage_0_cel",
+        "not json at all": "stage_0_cel",
+        "": "stage_0_cel",
+    }
+
+    # parity: kept rows equal the filtering (non-quarantine) pipeline
+    config2 = PipelineConfig(
+        instance_id="q2",
+        processors=config.processors,
+        sinks=[SinkSpec("out", "parquet", None, {"path": str(tmp_path / "out2")})],
+    )
+    Pipeline(config2, state_dir=str(tmp_path / "state")).run_batch(df, batch_id=0)
+    plain = spark.read.parquet(str(tmp_path / "out2" / "batch_id=0")).collect()
+    assert sorted(r.value for r in kept) == sorted(r.value for r in plain)
+
+
+def test_quarantine_second_stage_failure(spark, tmp_path):
+    """A row passing cel but failing a later parse stage is quarantined
+    with THAT stage name."""
+    df = spark.createDataFrame(
+        [("status=ok prio=high",), ("=broken line=",)], ["value"]
+    )
+    config = PipelineConfig(
+        instance_id="q3",
+        processors=[{"kind": "kv", "type": "raw"}],
+        sinks=[SinkSpec("out", "parquet", None, {"path": str(tmp_path / "o")})],
+        quarantine={"kind": "parquet", "path": str(tmp_path / "q")},
+    )
+    record = Pipeline(config).run_batch(df, batch_id=0)
+    assert record.per_sink_counts["out"] == 1
+    assert record.per_sink_counts["__quarantine__"] == 1
+    quar = spark.read.parquet(str(tmp_path / "q" / "batch_id=0")).collect()
+    assert quar[0].value == "=broken line="
+    assert quar[0].fail_stage == "stage_0_kv"
+
+
 def test_enrich_broadcast_plan_and_values(spark):
     pages = datagen.gen_pages_df(spark, 40, partitions=2).drop("html")
     lookups = datagen.lookup_dfs(spark)
