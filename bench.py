@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "join_shuffle_agg",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "multimodal_features",
 ]
 
@@ -79,61 +80,15 @@ def ensure_pages(spark) -> str:
 
 
 def run_pages_pipeline(spark, pages_path: str) -> dict:
-    """The north-star job: scan pages → extract text + log lines (Arrow
-    UDF over binary html) → CEL filter → JSON mutate → enrich (broadcast
-    domain/tld lookups) → route → aggregate.
+    """The north-star job: scan pages → native extract of embedded log
+    lines → CEL filter → JSON mutate → broadcast enrich → route →
+    aggregate, as ONE pass (collector_spark/plans/pages_job.py — also
+    plan-asserted in tests/test_plans_scale.py). Multi-sink WRITES use
+    the persisted fan-out in Pipeline.run_batch instead, exercised by
+    the e2e tests and the verify drive."""
+    from collector_spark.plans.pages_job import run_pages_pipeline as _run
 
-    ONE pass: per-category aggregation carries the per-route match sums,
-    so per-sink counts (sum over categories) and the category rollup come
-    out of a single map + one tiny shuffle — no persist, no second job.
-    (Multi-sink WRITES need the persisted fan-out — that path is
-    Pipeline.run_batch, exercised by the e2e tests and the verify drive;
-    an aggregate-only pipeline should not pay a cache materialization.)"""
-    from collector_spark.datagen import lookup_dfs
-    from collector_spark.operators.cel import CelFilter
-    from collector_spark.operators.enrich import url_domain, url_tld
-    from collector_spark.operators.extract import HtmlExtractor
-    from collector_spark.operators.json_mutate import JsonMutator
-    from collector_spark.operators.router import Route, Router
-
-    pages = spark.read.parquet(pages_path)
-    lookups = lookup_dfs(spark, SEED)
-
-    # native engines: the whole parse stage is Catalyst expressions
-    # (regexp_extract_all/explode/replace) inside whole-stage codegen —
-    # the pandas-UDF path is benchmarked separately as pages_extract_udf
-    ex = HtmlExtractor(engine="native")
-    lines = ex.log_lines(pages, keep_cols=("url",)).filter(
-        F.col("value").startswith("{")
-    )
-    lines = CelFilter(
-        rules=["event.code == 200 || event.code >= 400"], action="accept"
-    ).apply(lines)
-    lines = JsonMutator(
-        add=[{"key": "pipeline", "value": "bench"}], engine="native"
-    ).apply(lines)
-    enriched = (
-        lines.withColumn("domain", url_domain(F.col("url")))
-        .withColumn("tld", url_tld(F.col("url")))
-        .join(F.broadcast(lookups["domain_map"]), "domain", "left")
-        .join(F.broadcast(lookups["tld_map"]), "tld", "left")
-    )
-    router = Router(
-        [
-            Route("ok", "event.code == 200"),
-            Route("errors", "event.code >= 400"),
-            Route("all", None),
-        ]
-    )
-    aggs = [
-        F.sum(col.cast("long")).alias(name) for name, col in router._route_cols()
-    ]
-    per_cat = enriched.groupBy("category").agg(*aggs).collect()
-    counts = {
-        name: int(sum(r[name] or 0 for r in per_cat))
-        for name, _ in router._route_cols()
-    }
-    return {"sink_counts": counts, "n_categories": len(per_cat)}
+    return _run(spark, pages_path, seed=SEED)
 
 
 def main() -> None:

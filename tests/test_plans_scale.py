@@ -48,6 +48,32 @@ def test_enrichment_joins_are_broadcast_not_shuffle(spark, pages_path):
     assert not has_sort_merge_join(enriched)
 
 
+def test_pages_job_plan_shape(spark, pages_path):
+    """The north-star one-pass job: broadcast-only joins, exactly one
+    exchange (the category groupBy), html+url only in the scan."""
+    from collector_spark.plans.inspect import executed_plan
+    from collector_spark.plans.pages_job import build_pages_agg
+
+    df = build_pages_agg(spark, spark.read.parquet(pages_path))
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # one data exchange for the final groupBy (+ broadcast exchanges,
+    # which are not shuffles)
+    import re
+
+    shuffles = [
+        l for l in plan.splitlines() if re.search(r"\bExchange (hash|range|Single)", l)
+    ]
+    assert len(shuffles) <= 1, shuffles
+    cols = scan_read_schema(df)
+    assert set(cols) <= {"url", "html"}, cols
+
+    counts_ok = {r["category"]: r for r in df.collect()}
+    # one JSON status line per page survives the startswith+CEL filters
+    assert sum(r["all"] for r in counts_ok.values()) == 256
+
+
 def test_events_ts_filter_pushdown(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     df = ev.filter(F.col("event_type") == "click").select("event_id")
