@@ -198,36 +198,57 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact Jaccard over word shingles for candidate pairs only (the
-    verify stage after LSH; never all-pairs). Shingle sets are computed
-    JVM-side with native array functions."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    verify stage after LSH; never all-pairs).
+
+    Scale shape: shingles are EXPLODED to (id, shingle) token rows — no
+    shingle arrays ever enter a join. |intersection| comes from routing
+    each candidate pair through the token table twice (join on id_a,
+    then on (id_b, shingle)); |union| = |A| + |B| - |A∩B| from per-doc
+    distinct counts. All shuffles key on ids or (id, shingle) tokens —
+    small rows, hash-distributed, skew-free."""
+    # split ONCE per row in a projection — referencing the split result
+    # inside the transform() lambda would re-run it per shingle
+    # (O(words^2) per doc; Catalyst does not hoist it out of the lambda)
+    words = F.col("_w")
     n_sh = F.greatest(F.size(words) - (shingle_n - 1), F.lit(1))
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(words, i + 1, shingle_n)
-            ),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_n)),
         )
     )
-    sh = df.select(F.col(id_col), shingles.alias("shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    joined = (
-        candidate_pairs.alias("p")
-        .join(a, F.col("p.id_a") == F.col(f"a.{id_col}"))
-        .join(b, F.col("p.id_b") == F.col(f"b.{id_col}"))
+    tokens = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+    ).select("_id", F.explode(shingles).alias("_sh"))
+    sizes = tokens.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+
+    cand = candidate_pairs.select("id_a", "id_b")
+    inter = (
+        cand.join(tokens, cand.id_a == tokens._id)
+        .select("id_a", "id_b", "_sh")
+        .join(
+            tokens.select(F.col("_id").alias("_id_b"), F.col("_sh").alias("_sh_b")),
+            (F.col("id_b") == F.col("_id_b")) & (F.col("_sh") == F.col("_sh_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
-    union = F.size(F.array_union("a.shingles", "b.shingles"))
-    return (
-        joined.select(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
-            (inter / union).alias("jaccard"),
+    out = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .withColumn("_i", F.coalesce(F.col("_inter"), F.lit(0)))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i"))).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return out
 
 
 # ---------------------------------------------------------------------------
