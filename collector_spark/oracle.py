@@ -106,6 +106,8 @@ _NON_KV_SPACE_RE = re.compile(r"\s(?!([\w\-]+)=)")
 def _cef_unescape_field(field: str) -> str:
     """Header-field unescapes: \\\\ -> \\, \\| -> |, \\n -> newline
     (cef.go:122-131). Single left-to-right pass like Go's Replacer."""
+    if "\\" not in field:  # fast path: nothing to unescape
+        return field
     out = []
     i, n = 0, len(field)
     while i < n:
@@ -132,6 +134,8 @@ def _cef_unescape_field(field: str) -> str:
 def _cef_unescape_extension(field: str) -> str:
     """Extension unescapes: \\\\ -> \\, \\n -> newline, \\= -> =
     (cef.go:134-143)."""
+    if "\\" not in field:  # fast path: nothing to unescape
+        return field
     out = []
     i, n = 0, len(field)
     while i < n:
