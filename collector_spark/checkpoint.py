@@ -43,10 +43,27 @@ class BatchRecord:
     committed_at: float = 0.0
 
 
+@dataclass
+class Status:
+    """Instance status roll-up (reference internal/app/manager/
+    status.go:7-27 — Running, Errors, LastSuccessfulRun,
+    LastSuccessfulResultCount, HasErrors, ErrorsSinceSuccessfulRun)."""
+
+    last_successful_run: float | None = None
+    last_successful_result_count: int = 0
+    errors: list[str] = field(default_factory=list)
+    errors_since_successful_run: int = 0
+
+    @property
+    def has_errors(self) -> bool:
+        return bool(self.errors)
+
+
 class Manifest:
     def __init__(self, state_dir: str, instance_id: str):
         os.makedirs(state_dir, exist_ok=True)
         self.path = os.path.join(state_dir, f"{instance_id}.manifest.jsonl")
+        self.errors_path = os.path.join(state_dir, f"{instance_id}.errors.jsonl")
 
     def load(self) -> list[BatchRecord]:
         if not os.path.exists(self.path):
@@ -83,3 +100,47 @@ class Manifest:
             for r in records:
                 f.write(json.dumps(r.__dict__, separators=(",", ":")) + "\n")
         os.replace(tmp, self.path)
+
+    def record_error(self, batch_id: int, message: str) -> None:
+        """Append a batch failure (reference errorHandler path,
+        manager.go:166-169: the batch is dropped, the error logged)."""
+        with open(self.errors_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {"batch_id": batch_id, "error": message, "at": time.time()},
+                    separators=(",", ":"),
+                )
+                + "\n"
+            )
+
+    def _errors(self) -> list[dict]:
+        if not os.path.exists(self.errors_path):
+            return []
+        out = []
+        with open(self.errors_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+        return out
+
+    def status(self) -> Status:
+        """Roll-up (status.go:7-27): last successful batch + error tally;
+        errors_since_successful_run counts errors logged after the last
+        commit."""
+        records = self.load()
+        errors = self._errors()
+        last = records[-1] if records else None
+        since = [
+            e
+            for e in errors
+            if last is None or e["at"] > last.committed_at
+        ]
+        return Status(
+            last_successful_run=last.committed_at if last else None,
+            last_successful_result_count=(
+                sum(last.per_sink_counts.values()) if last else 0
+            ),
+            errors=[e["error"] for e in errors],
+            errors_since_successful_run=len(since),
+        )

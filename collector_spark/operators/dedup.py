@@ -130,18 +130,17 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
 
+    # band hash only buckets (est_jaccard comes from the signatures), so
+    # use native xxhash64 over the band's slots — no string concat, no md5
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("signature")[i * rows_per_band + r].cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
+                F.xxhash64(
+                    *[
+                        F.col("signature")[i * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ]
                 ).alias("bh"),
             )
             for i in range(bands)

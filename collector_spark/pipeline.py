@@ -179,12 +179,19 @@ class Pipeline:
         batch_id: int,
         source_state: dict | None = None,
         skip_if_committed: bool = True,
+        on_error: str = "raise",
     ) -> BatchRecord:
         """Process one batch: transform → fan-out writes → commit.
 
         Idempotent: re-running a committed batch is a no-op; re-running an
         UNcommitted batch overwrites the same deterministic sink paths.
+
+        on_error='drop' mirrors the reference (a processor error drops
+        the whole batch, logged, pipeline continues — manager.go:166-169,
+        tracked in Manifest.status()); 'raise' (default) propagates.
         """
+        if on_error not in ("raise", "drop"):
+            raise ValueError(on_error)
         if (
             skip_if_committed
             and self.manifest is not None
@@ -192,6 +199,18 @@ class Pipeline:
         ):
             return BatchRecord(batch_id=batch_id, source_state=source_state or {})
 
+        try:
+            return self._run_batch_inner(df, batch_id, source_state)
+        except Exception as e:  # noqa: BLE001 — mirrors reference error path
+            if self.manifest is not None:
+                self.manifest.record_error(batch_id, f"{type(e).__name__}: {e}")
+            if on_error == "drop":
+                return BatchRecord(batch_id=batch_id, source_state=source_state or {})
+            raise
+
+    def _run_batch_inner(
+        self, df: DataFrame, batch_id: int, source_state: dict | None
+    ) -> BatchRecord:
         if self.quarantine_sink is not None:
             return self._run_batch_quarantine(df, batch_id, source_state)
 

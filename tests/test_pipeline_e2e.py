@@ -209,6 +209,47 @@ def test_enrich_broadcast_plan_and_values(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_status_rollup_and_error_drop(spark, tmp_path):
+    """Status roll-up (reference internal/app/manager/status.go:7-27):
+    last successful run + errors-since-success; on_error='drop' mirrors
+    the reference's drop-batch-and-continue semantics."""
+
+    class BoomSink:
+        def write(self, df, batch_id=None):
+            raise RuntimeError("sink exploded")
+
+    df = spark.createDataFrame([('{"code": 200}',)], ["value"])
+    config = PipelineConfig(
+        instance_id="s1",
+        processors=[{"kind": "cel", "rules": ["event.code == 200"]}],
+        sinks=[SinkSpec("out", "parquet", None, {"path": str(tmp_path / "out")})],
+    )
+    state_dir = str(tmp_path / "state")
+    pipe = Pipeline(config, state_dir=state_dir)
+
+    rec0 = pipe.run_batch(df, batch_id=0)
+    assert rec0.per_sink_counts == {"out": 1}
+
+    # batch 1 fails in the sink → dropped + recorded, no commit
+    pipe.sinks["out"] = BoomSink()
+    rec1 = pipe.run_batch(df, batch_id=1, on_error="drop")
+    assert rec1.per_sink_counts == {}
+
+    st = pipe.manifest.status()
+    assert st.last_successful_run is not None
+    assert st.last_successful_result_count == 1
+    assert st.has_errors
+    assert st.errors_since_successful_run == 1
+    assert "sink exploded" in st.errors[0]
+
+    # on_error='raise' propagates AND records
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        pipe.run_batch(df, batch_id=2, on_error="raise")
+    assert pipe.manifest.status().errors_since_successful_run == 2
+
+
 def test_config_validation_fails_fast(tmp_path):
     import pytest
     from collector_spark.operators.cel import CelSyntaxError
