@@ -855,6 +855,58 @@ FROM m, UNNEST(range(0, greatest(least(CAST(floor(n_bytes / 1024) AS INT), 16), 
 
 
 # ---------------------------------------------------------------------------
+# 29/30. Redaction + repetition signal (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.textstats import redact_col
+
+    docs = _documents(spark, sf_dir)
+    salted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact bob@example.com from 10.1.2.3")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return salted.select("doc_id", redact_col(F.col("text")).alias("clean"))
+
+
+def _sql_redact() -> str:
+    from collector_spark.operators.textstats import redact_sql
+
+    inner = (
+        "CASE WHEN doc_id % 3 = 0 "
+        "THEN text || ' contact bob@example.com from 10.1.2.3' "
+        "ELSE text END"
+    )
+    return f"SELECT doc_id, {redact_sql(inner)} AS clean FROM documents"
+
+
+def q_distinct_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.textstats import distinct_token_ratio_col
+
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id", distinct_token_ratio_col(F.col("text")).alias("distinct_ratio")
+    )
+
+
+def _sql_distinct_ratio() -> str:
+    from collector_spark.operators.textstats import distinct_token_ratio_sql
+
+    return (
+        f"SELECT doc_id, {distinct_token_ratio_sql('text')} AS distinct_ratio "
+        "FROM documents"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -898,6 +950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "redact_pii": q_redact_pii,
+        "distinct_token_ratio": q_distinct_token_ratio,
     }
 
 
@@ -938,4 +992,6 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_features: sha256-derived stub features — rows-only,
         # pinned against the Python path in tests/test_training_ops.py.
         "frame_sample": _SQL_FRAME_SAMPLE,
+        "redact_pii": _sql_redact(),
+        "distinct_token_ratio": _sql_distinct_ratio(),
     }

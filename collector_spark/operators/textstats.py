@@ -152,6 +152,55 @@ def quality_score_sql(col: str) -> str:
     return f"round({len_score} * 0.4 + {stop_score} * 0.4 + (1.0 - {punct_pen}) * 0.2, 4)"
 
 
+# ---------------------------------------------------------------------------
+# Redaction (PII-style scrubbing, training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (work identically in Java regex and DuckDB)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+REDACTIONS = [(_EMAIL_RE, "<EMAIL>"), (_IPV4_RE, "<IP>")]
+
+
+def redact_col(text: Column) -> Column:
+    """Scrub emails and IPv4 addresses (JVM-side regexp_replace chain)."""
+    for pat, repl in REDACTIONS:
+        text = F.regexp_replace(text, pat, repl)
+    return text
+
+
+def redact_sql(col: str) -> str:
+    expr = col
+    for pat, repl in REDACTIONS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Repetition signal (distinct-token ratio, Gopher-style corpus filtering)
+# ---------------------------------------------------------------------------
+
+
+def distinct_token_ratio_col(text: Column) -> Column:
+    """|distinct words| / |words| — low values flag boilerplate/spam.
+    1.0 for empty docs (nothing repeated)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.round(
+        F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(1.0)), 4
+    )
+
+
+def distinct_token_ratio_sql(col: str) -> str:
+    toks = f"list_filter(regexp_split_to_array(trim({col}), '\\s+'), w -> w <> '')"
+    return (
+        f"round(CASE WHEN len({toks}) > 0 "
+        f"THEN len(list_distinct({toks})) / CAST(len({toks}) AS DOUBLE) "
+        f"ELSE 1.0 END, 4)"
+    )
+
+
 def _fingerprint_udf():
     def udf(s: pd.Series) -> pd.Series:
         return s.map(lambda t: oracle.rolling_fingerprint(t or ""))
