@@ -129,6 +129,12 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    # the signature table is referenced 4x downstream (both band-join
+    # sides + both verify joins): materialize ONCE — without this the
+    # pandas-UDF stage re-runs per reference and dominates the job
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
     # band hash only buckets (est_jaccard comes from the signatures), so
     # use native xxhash64 over the band's slots — no string concat, no md5
@@ -146,10 +152,13 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
-    banded = sigs.select(
-        F.col(id_col), F.col("signature"), F.explode(band_arr).alias("b")
-    ).select(id_col, "signature", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-
+    # band join + dedup on SMALL rows only (id, band, bh) — the 64-slot
+    # signature arrays never ride through the (possibly huge) candidate
+    # join; they re-attach afterwards via two id-keyed joins against the
+    # n_docs-sized signature table.
+    banded = sigs.select(F.col(id_col), F.explode(band_arr).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -162,11 +171,11 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.signature").alias("sig_a"),
-            F.col("r.signature").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = (
         F.size(
             F.filter(
@@ -177,7 +186,9 @@ def minhash_lsh_pairs(
         / F.lit(float(num_hashes))
     )
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
