@@ -44,6 +44,31 @@ class StreamingPipeline:
         )
 
 
+def session_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based session aggregation via the built-in session_window —
+    works identically on batch and streams (with a watermark). The
+    manual lag/cumsum sessionizer (__spark_entry__.q_sessionize) is the
+    SQL-oracle-checkable equivalent; tests assert they agree."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def windowed_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

@@ -156,6 +156,29 @@ def test_stateful_running_counts_across_microbatches(spark, tmp_path):
     assert latest["view"].batches == 1
 
 
+def test_session_window_matches_manual_sessionizer(spark, sf_dir):
+    """The built-in session_window aggregate must produce the same
+    (user, session_start, n_events) sessions as the manual lag/cumsum
+    sessionizer (q_sessionize — the DuckDB-checked one)."""
+    import __spark_entry__ as entry_mod
+    from collector_spark.streaming.stream_pipeline import session_counts
+
+    manual = {
+        (r.user_id, r.session_start): r.n_events
+        for r in entry_mod.q_sessionize(spark, sf_dir).collect()
+    }
+    builtin = {
+        (r.user_id, r.session_start): r.n_events
+        for r in session_counts(
+            spark.read.parquet(f"{sf_dir}/events.parquet"),
+            ts_col="ts",
+            key_col="user_id",
+            gap="30 minutes",
+        ).collect()
+    }
+    assert builtin == manual
+
+
 def test_windowed_counts_batch_semantics(spark, sf_dir):
     """windowed_counts is stream-first but the same plan runs on a batch
     DF — verify the tumbling-window math against a groupBy date_trunc."""
