@@ -156,6 +156,62 @@ def test_stateful_running_counts_across_microbatches(spark, tmp_path):
     assert latest["view"].batches == 1
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed aggregation with a 10-minute watermark: an
+    event arriving after the watermark passed its window must be dropped
+    (late-data semantics the reference has no concept of, SURVEY §2.7)."""
+    from collector_spark.streaming.stream_pipeline import windowed_counts
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write(name, rows):
+        (in_dir / name).write_text(
+            "\n".join(json.dumps({"ts": ts, "event_type": et}) for ts, et in rows)
+        )
+
+    # window 10:00-11:00 gets 2 events; the 12:30 event advances the
+    # watermark to 12:20 > 11:00 so that window finalizes
+    write("b1.json", [
+        ("2024-01-01 10:00:00", "click"),
+        ("2024-01-01 10:05:00", "click"),
+        ("2024-01-01 12:30:00", "click"),
+    ])
+    stream = spark.readStream.schema("ts timestamp, event_type string").json(
+        str(in_dir)
+    )
+    out = windowed_counts(stream, ts_col="ts", key_col="event_type",
+                          window="1 hour", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # a LATE event for the already-finalized 10:00 window + a fresh one
+        write("b2.json", [
+            ("2024-01-01 10:30:00", "click"),   # late → must be dropped
+            ("2024-01-01 14:30:00", "click"),   # advances watermark past 13:00
+        ])
+        q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (r.window_start.isoformat(), r.event_type): r.cnt
+        for r in spark.sql("select * from late").collect()
+    }
+    # the 10:00 window finalized at cnt=2; the late 10:30 event did NOT
+    # reopen or re-emit it
+    assert rows[("2024-01-01T10:00:00", "click")] == 2
+    # the 12:00 window emitted once the watermark passed 13:00
+    assert rows[("2024-01-01T12:00:00", "click")] == 1
+
+
 def test_session_window_matches_manual_sessionizer(spark, sf_dir):
     """The built-in session_window aggregate must produce the same
     (user, session_start, n_events) sessions as the manual lag/cumsum
