@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from collector_spark.checkpoint import BatchRecord, Manifest
 from collector_spark.operators.router import Route, Router
 from collector_spark.registry import make_processor, make_sink
+from collector_spark.sources.sources import make_source
 
 
 @dataclass
@@ -46,6 +47,10 @@ class PipelineConfig:
     Processors[], Outputs[] — with the router generalization)."""
 
     instance_id: str
+    # optional config-driven input {kind, ...} (reference Config.Input,
+    # pkg/core/config.go:3-7); when present, run_tick() drives the full
+    # read-new → process → outputs → commit-state loop
+    input: dict | None = None
     processors: list[dict] = field(default_factory=list)  # [{kind, ...config}]
     sinks: list[SinkSpec] = field(default_factory=list)
     mode: str = "json"  # payload model for cel/json processors
@@ -104,6 +109,11 @@ class Pipeline:
             else None
         )
         self.sinks = {s.name: make_sink(s.kind, **s.config) for s in config.sinks}
+        if config.input:
+            src = dict(config.input)
+            self.source = make_source(src.pop("kind"), **src)
+        else:
+            self.source = None
         if config.quarantine:
             q = dict(config.quarantine)
             self.quarantine_sink = make_sink(q.pop("kind"), **q)
@@ -292,6 +302,20 @@ class Pipeline:
         if self.manifest is not None:
             self.manifest.commit(record)
         return record
+
+    def run_tick(self, spark: SparkSession, on_error: str = "raise") -> BatchRecord:
+        """One reference daemon tick (internal/input/file/file.go:62-133 →
+        manager loop): read NEW rows from the configured source (resuming
+        from the committed state), process, fan out, commit state.
+        Batch ids auto-increment from the manifest."""
+        if self.source is None:
+            raise ValueError("run_tick needs a config with an 'input' block")
+        state = self.manifest.last_state() if self.manifest else {}
+        df, new_state = self.source.read_new(spark, state)
+        batch_id = (self.manifest.last_batch_id() + 1) if self.manifest else 0
+        return self.run_batch(
+            df, batch_id=batch_id, source_state=new_state, on_error=on_error
+        )
 
     def sink_counts(self, df: DataFrame) -> DataFrame:
         """Per-sink aggregate counts of the transformed stream (one pass)."""

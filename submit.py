@@ -53,8 +53,8 @@ def main() -> None:
         print(build_zip())
         return
 
-    if not args.config_dir or not args.input:
-        ap.error("--config-dir and --input are required (or use --package)")
+    if not args.config_dir:
+        ap.error("--config-dir is required (or use --package)")
 
     from pyspark.sql import functions as F
 
@@ -64,11 +64,19 @@ def main() -> None:
 
     spark = get_spark(app_name="collector_spark_submit", master=args.master)
     instances = load_instances(args.config_dir, state_dir=args.state_dir)
-    df = spark.read.parquet(args.input)
-    if args.input_kind == "pages":
-        df = HtmlExtractor().log_lines(df).select("value")
+    df = None
+    if args.input:
+        df = spark.read.parquet(args.input)
+        if args.input_kind == "pages":
+            df = HtmlExtractor().log_lines(df).select("value")
     for iid, pipe in instances.items():
-        record = pipe.run_batch(df, batch_id=args.batch_id)
+        if pipe.source is not None:
+            # instance carries its own input block → full daemon tick
+            record = pipe.run_tick(spark)
+        elif df is not None:
+            record = pipe.run_batch(df, batch_id=args.batch_id)
+        else:
+            ap.error(f"instance {iid} has no input block; pass --input")
         print(f"{iid}: batch={record.batch_id} sinks={record.per_sink_counts} "
               f"stages={record.per_stage_counts}")
 

@@ -265,6 +265,45 @@ def test_config_validation_fails_fast(tmp_path):
         Pipeline(PipelineConfig(instance_id="bad2", processors=[{"kind": "nope"}]))
 
 
+def test_run_tick_config_driven_input(spark, tmp_path):
+    """Full reference daemon loop from config alone: input block + file
+    source offset resume + auto batch ids + state commit (file.go:62-133
+    → manager.go:123-235)."""
+    log = tmp_path / "app.log"
+    log.write_text('{"code": 200, "i": 1}\n{"code": 500, "i": 2}\n')
+    config = PipelineConfig(
+        instance_id="tick1",
+        input={"kind": "file", "path": str(tmp_path / "*.log")},
+        processors=[{"kind": "cel", "rules": ["event.code == 200"]}],
+        sinks=[SinkSpec("out", "parquet", None, {"path": str(tmp_path / "out")})],
+    )
+    pipe = Pipeline(config, state_dir=str(tmp_path / "state"))
+
+    r0 = pipe.run_tick(spark)
+    assert r0.batch_id == 0
+    assert r0.per_sink_counts == {"out": 1}
+    assert r0.source_state == {str(log): log.stat().st_size}
+
+    # append two new lines → tick 2 reads ONLY the tail
+    with open(log, "a") as f:
+        f.write('{"code": 200, "i": 3}\n{"code": 200, "i": 4}\n')
+    r1 = pipe.run_tick(spark)
+    assert r1.batch_id == 1
+    assert r1.per_sink_counts == {"out": 2}
+    vals = sorted(
+        json.loads(r.value)["i"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "batch_id=1")).collect()
+    )
+    assert vals == [3, 4]
+
+    # nothing new → zero-result tick still commits state (manager.go:132-136)
+    r2 = pipe.run_tick(spark)
+    assert r2.batch_id == 2
+    assert r2.per_sink_counts.get("out", 0) == 0
+    m = Manifest(str(tmp_path / "state"), "tick1")
+    assert m.last_batch_id() == 2
+
+
 def test_config_dir_loading(tmp_path):
     conf = {
         "instance_id": "",
