@@ -1,0 +1,25 @@
+"""Plan-regression guard over EVERY driver query: no accidental
+cartesian products or nested-loop joins sneak in (the brute-force ANN
+queries are the only intentional cross joins — broadcast NL against a
+tiny query set)."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from collector_spark.plans.inspect import executed_plan
+
+# intentional cross joins: small broadcast side by construction
+CROSS_JOIN_OK = {"ann_cosine_topk"}
+
+QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_accidental_cartesian(spark, name):
+    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    plan = executed_plan(df)
+    if name in CROSS_JOIN_OK:
+        assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+        return
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a NL join"
