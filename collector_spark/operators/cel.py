@@ -15,9 +15,11 @@ filtering runs JVM-side inside whole-stage codegen with predicate pushdown;
 no Python is involved per row.
 
 Supported CEL subset (everything the reference's tests exercise, plus
-common string predicates): ``== != < <= > >= && || !``, parentheses,
-``has(event.a.b)``, ``event.list.exists(x, <expr over x>)``,
-``in [..]`` literals, ``.startsWith/.endsWith/.contains(str)``,
+common string predicates and arithmetic): ``== != < <= > >= && || !``,
+``+ - * / %`` (unary minus included; truncated remainder matching
+Spark/DuckDB), parentheses, ``has(event.a.b)``,
+``event.list.exists(x, <expr over x>)``, ``in [..]`` literals,
+``.startsWith/.endsWith/.contains(str)``,
 ``.size()``, int/float/string/bool/null literals. Anything else raises
 ``CelSyntaxError`` at build time (mirrors validateRule,
 engine.go:88-106).
@@ -56,7 +58,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<num>\d+\.\d+|\d+)
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<op>==|!=|<=|>=|&&|\|\||[<>!().,\[\]])
+  | (?P<op>==|!=|<=|>=|&&|\|\||[<>!().,\[\]+\-*/%])
   | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
 """,
     re.VERBOSE,
@@ -116,6 +118,13 @@ class Or:
 @dataclass
 class Not:
     operand: object
+
+
+@dataclass
+class Arith:
+    op: str  # + - * / %
+    left: object
+    right: object
 
 
 @dataclass
@@ -182,14 +191,28 @@ class _Parser:
         return node
 
     def parse_cmp(self):
-        node = self.parse_unary()
+        node = self.parse_add()
         kind, v = self.peek()
         if v in ("==", "!=", "<", "<=", ">", ">="):
             self.next()
-            return Cmp(v, node, self.parse_unary())
+            return Cmp(v, node, self.parse_add())
         if kind == "ident" and v == "in":
             self.next()
             return InList(node, self.parse_list_literal())
+        return node
+
+    def parse_add(self):
+        node = self.parse_mul()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            node = Arith(op, node, self.parse_mul())
+        return node
+
+    def parse_mul(self):
+        node = self.parse_unary()
+        while self.peek()[1] in ("*", "/", "%"):
+            op = self.next()[1]
+            node = Arith(op, node, self.parse_unary())
         return node
 
     def parse_list_literal(self) -> list:
@@ -210,6 +233,12 @@ class _Parser:
         if v == "!":
             self.next()
             return Not(self.parse_unary())
+        if v == "-":
+            self.next()
+            operand = self.parse_unary()
+            if isinstance(operand, Lit) and isinstance(operand.value, (int, float)):
+                return Lit(-operand.value)
+            return Arith("-", Lit(0), operand)
         if v == "(":
             self.next()
             node = self.parse_or()
@@ -359,7 +388,37 @@ class ColumnCompiler:
             return self._typed_path(node, like)
         if isinstance(node, StrFn) and node.fn == "size":
             return self._strfn(node)
+        if isinstance(node, Arith):
+            return self._arith(node)
         raise CelSyntaxError(f"unsupported operand {node!r}")
+
+    def _arith(self, node: Arith) -> Column:
+        """Arithmetic subexpression: paths are numeric by context."""
+        def num(n) -> Column:
+            if isinstance(n, Arith):
+                return self._arith(n)
+            if isinstance(n, Lit):
+                if not isinstance(n.value, (int, float)) or isinstance(n.value, bool):
+                    raise CelSyntaxError(f"non-numeric literal in arithmetic: {n.value!r}")
+                return F.lit(n.value)
+            if isinstance(n, Path):
+                return self._typed_path(n, 1.0)  # numeric cast
+            if isinstance(n, StrFn) and n.fn == "size":
+                return self._strfn(n)
+            raise CelSyntaxError(f"unsupported arithmetic operand {n!r}")
+
+        left, right = num(node.left), num(node.right)
+        if node.op == "+":
+            return left + right
+        if node.op == "-":
+            return left - right
+        if node.op == "*":
+            return left * right
+        if node.op == "/":
+            return left / right
+        if node.op == "%":
+            return left % right
+        raise CelSyntaxError(f"unknown arithmetic op {node.op!r}")
 
     def _lit_of(self, node):
         return node.value if isinstance(node, Lit) else None
@@ -379,6 +438,10 @@ class ColumnCompiler:
             return ~self.compile(node.operand)
         if isinstance(node, Cmp):
             like = self._lit_of(node.right) or self._lit_of(node.left)
+            if like is None and (
+                isinstance(node.left, Arith) or isinstance(node.right, Arith)
+            ):
+                like = 1.0  # arithmetic side → compare numerically
             left = self._operand(node.left, like)
             right = self._operand(node.right, like)
             if isinstance(node.left, Lit) and isinstance(node.right, Path):
@@ -552,6 +615,10 @@ class SqlCompiler:
                 if isinstance(node.left, Lit)
                 else None
             )
+            if like is None and (
+                isinstance(node.left, Arith) or isinstance(node.right, Arith)
+            ):
+                like = 1.0  # arithmetic side → compare numerically
             left = (
                 self._typed_path(node.left, like)
                 if isinstance(node.left, Path)
@@ -605,7 +672,25 @@ class SqlCompiler:
             return self._lit(node.value)
         if isinstance(node, StrFn) and node.fn == "size":
             return f"length({self._raw_path(node.path)})"
+        if isinstance(node, Arith):
+            return self._arith_sql(node)
         raise CelSyntaxError(f"unsupported operand {node!r}")
+
+    def _arith_sql(self, node: Arith) -> str:
+        def num(n) -> str:
+            if isinstance(n, Arith):
+                return self._arith_sql(n)
+            if isinstance(n, Lit):
+                if not isinstance(n.value, (int, float)) or isinstance(n.value, bool):
+                    raise CelSyntaxError(f"non-numeric literal in arithmetic: {n.value!r}")
+                return self._lit(n.value)
+            if isinstance(n, Path):
+                return self._typed_path(n, 1.0)
+            if isinstance(n, StrFn) and n.fn == "size":
+                return f"length({self._raw_path(n.path)})"
+            raise CelSyntaxError(f"unsupported arithmetic operand {n!r}")
+
+        return f"({num(node.left)} {node.op} {num(node.right)})"
 
     def _sql_lambda_body(self, node, var: str) -> str:
         if isinstance(node, Cmp):
@@ -667,6 +752,30 @@ def eval_python(node, event: dict):
             return True
         except CelEvalError:
             return False
+    if isinstance(node, Arith):
+        import math
+
+        left = eval_python(node.left, event)
+        right = eval_python(node.right, event)
+        for v in (left, right):
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                raise CelEvalError(f"arithmetic on non-number: {v!r}")
+        if node.op == "+":
+            return left + right
+        if node.op == "-":
+            return left - right
+        if node.op == "*":
+            return left * right
+        if node.op == "/":
+            if right == 0:
+                raise CelEvalError("division by zero")
+            return left / right
+        if node.op == "%":
+            if right == 0:
+                raise CelEvalError("modulo by zero")
+            # truncated remainder (sign of dividend) — matches Spark/DuckDB
+            return math.fmod(left, right)
+        raise CelEvalError(f"unknown arithmetic op {node.op!r}")
     if isinstance(node, Cmp):
         left = eval_python(node.left, event)
         right = eval_python(node.right, event)

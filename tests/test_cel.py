@@ -20,6 +20,12 @@ RULE1 = "event.code == 200"
 RULE2 = "event.code == 200 || event.code == 400"
 RULE3 = 'event.code == 200 && has(event.data) && has(event.data.message) && event.data.message == "hello world"'
 RULE4 = 'event.code == 400 && has(event.data) && has(event.data.errors) && event.data.errors.exists(x, x == "invalid page")'
+# arithmetic (full-CEL surface beyond the reference's own tests)
+RULE5 = "event.code + 100 == 300"
+RULE6 = "event.code * 2 >= 800 && event.code - 100 < 500"
+RULE7 = "event.code % 3 == 2"          # 200%3=2, 400%3=1, 500%3=2
+RULE8 = "event.code / 2 > 240"
+RULE9 = "-event.code < -250"
 
 # expected per-event match for each single rule (engine_test.go:26-71)
 TRUTH = {
@@ -27,6 +33,11 @@ TRUTH = {
     RULE2: [True, True, False, True],
     RULE3: [False, True, False, False],
     RULE4: [True, False, False, False],
+    RULE5: [False, True, False, False],
+    RULE6: [True, False, True, True],
+    RULE7: [False, True, True, False],
+    RULE8: [False, False, True, False],
+    RULE9: [True, False, True, True],
 }
 
 INVALID_RULES = ['event === "hi"', 'event ||| "hi"', 'event "hi"']
