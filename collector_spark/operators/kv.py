@@ -16,7 +16,7 @@ byte-level parity tests. Parse failures yield NULL structs which the
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -114,20 +114,74 @@ kv_json_udf = F.pandas_udf(_kv_json_series, T.StringType())
 cef_json_udf = F.pandas_udf(_cef_json_series, T.StringType())
 
 
+# ---------------------------------------------------------------------------
+# Native (JVM) raw-kv fast path — zero Python per row
+# ---------------------------------------------------------------------------
+
+# mirror of oracle._EMPTY_KV_RE / _TRAILING_KV_RE (kv.go:89-96)
+_EMPTY_KV_JAVA = "[a-zA-Z0-9]+=[ ]"
+_TRAILING_KV_JAVA = "[ ][a-zA-Z0-9]+=$"
+# one valid token: key (no spaces/'='), '=', value not starting with '='
+_TOKEN_JAVA = "^[^\\s=]+=($|[^=].*$)"
+
+
+def native_kv_map_col(col: Column) -> Column:
+    """parse_kv as pure Catalyst expressions. NULL when any token is
+    malformed (the reference's ParseError → line dropped, kv.go:66-79).
+    Duplicate keys: last wins (session mapKeyDedupPolicy=LAST_WIN).
+    Matches oracle.parse_kv token-for-token: empty-valued keys blanked,
+    trailing 'key=' stripped, token split at the FIRST '='."""
+    cleaned = F.regexp_replace(F.trim(col), _EMPTY_KV_JAVA, " ")
+    cleaned = F.when(
+        cleaned.endswith("="), F.regexp_replace(cleaned, _TRAILING_KV_JAVA, "")
+    ).otherwise(cleaned)
+    toks = F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+    valid = F.forall(toks, lambda t: t.rlike(_TOKEN_JAVA))
+    entries = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.split(t, "=", 2)[0].alias("key"),
+            F.split(t, "=", 2)[1].alias("value"),
+        ),
+    )
+    # empty original line → NULL (dropped, tmp_writer.go:54-56); a line
+    # that merely cleans down to no tokens parses to an EMPTY map (the
+    # oracle returns {} there)
+    return F.when(
+        F.length(F.trim(col)) > 0, F.when(valid, F.map_from_entries(entries))
+    )
+
+
 class KvParser:
     """kv processor: type='raw' (k=v pairs) or 'cef'.
 
     apply() drops unparseable rows (reference logs + skips) and adds a
     ``parsed`` struct/map column; with as_json=True it instead rewrites
     ``value`` with the compact JSON the reference would emit.
+
+    engine='native' (type='raw' only): the whole parse is Catalyst
+    expressions inside whole-stage codegen — no Python, no Arrow.
+    engine='pandas' (default) runs the shared-oracle UDF (general path;
+    byte-identical by construction).
     """
 
-    def __init__(self, type: str = "raw", value_col: str = "value", as_json: bool = False):
+    def __init__(
+        self,
+        type: str = "raw",
+        value_col: str = "value",
+        as_json: bool = False,
+        engine: str = "pandas",
+    ):
         if type not in ("raw", "cef"):
             raise ValueError(f"kv type must be raw|cef, got {type!r}")
+        if engine not in ("pandas", "native"):
+            raise ValueError(engine)
+        if engine == "native" and (type != "raw" or as_json):
+            raise ValueError("engine='native' supports type='raw' struct output only")
         self.type = type
         self.value_col = value_col
         self.as_json = as_json
+        self.engine = engine
 
     def apply(self, df: DataFrame) -> DataFrame:
         df, keep = self.tag(df)
@@ -138,6 +192,9 @@ class KvParser:
         output and returns the parse-success boolean instead of
         filtering."""
         col = F.col(self.value_col)
+        if self.engine == "native":
+            out = df.withColumn("parsed", native_kv_map_col(col))
+            return out, F.col("parsed").isNotNull()
         if self.as_json:
             udf = kv_json_udf if self.type == "raw" else cef_json_udf
             out = df.withColumn(self.value_col, udf(col))

@@ -53,6 +53,9 @@ def get_spark(
         # local mode) and executors (cluster submit).
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # duplicate kv keys: last one wins, like a dict insert loop
+        # (reference parseKeyValue, kv.go:130-136)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

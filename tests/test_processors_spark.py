@@ -33,6 +33,73 @@ def test_kv_parser_spark(spark):
     assert out[0].parsed == oracle.parse_kv(KV1)
 
 
+def test_kv_native_engine_matches_oracle(spark):
+    """The zero-Python native kv path must agree with oracle.parse_kv on
+    every line: same surviving rows, same maps (incl. first-'=' split,
+    empty-value stripping, trailing-kv removal, last-dup-wins)."""
+    lines = [
+        KV1,
+        KV2,
+        KV3,
+        "",
+        "   ",
+        "k=a=b c=d",             # value contains '=' → split at FIRST '='
+        "a=1 a=2",               # duplicate key → last wins
+        "k==v",                  # value starts with '=' → ParseError → drop
+        "noequals",              # malformed token → drop
+        "lead text k=v",         # leading non-kv → drop
+        "empty= k=v",            # empty-valued key stripped
+        "tail k=",               # trailing empty kv stripped... with space
+        "a=b  c=d",              # multiple spaces between tokens
+        "  a=b c= ",             # leading/trailing space + empty-valued kv
+        "a=b tail=",             # trailing 'key=' at end of line stripped
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    native = {
+        r.value: dict(r.parsed)
+        for r in KvParser(type="raw", engine="native").apply(df).collect()
+    }
+    expected = {}
+    for l in lines:
+        s = l.strip()
+        if not s:
+            continue
+        try:
+            expected[l] = oracle.parse_kv(s)
+        except oracle.ParseError:
+            pass
+    assert native == expected, (native, expected)
+
+
+def test_kv_native_engine_fuzz(spark):
+    """200 seeded random kv-ish lines: native and oracle paths must agree
+    on which lines survive AND on every parsed map."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "ab1=_ ."
+
+    def rand_line():
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+
+    lines = [rand_line() for _ in range(200)]
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    native = {
+        r.value: dict(r.parsed)
+        for r in KvParser(type="raw", engine="native").apply(df).collect()
+    }
+    expected = {}
+    for l in lines:
+        s = l.strip()
+        if not s:
+            continue
+        try:
+            expected[l] = oracle.parse_kv(s)
+        except oracle.ParseError:
+            pass
+    assert native == expected
+
+
 def test_cef_parser_spark(spark):
     lines = [CEF1, CEF2, CEF3, CEF4, CEF5]
     df = spark.createDataFrame([(l,) for l in lines], ["value"])
