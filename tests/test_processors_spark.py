@@ -100,6 +100,72 @@ def test_kv_native_engine_fuzz(spark):
     assert native == expected
 
 
+def _cef_expected(lines):
+    out = {}
+    for l in lines:
+        s = l.strip()
+        if not s:
+            continue
+        try:
+            out[l] = oracle.parse_cef(s)
+        except oracle.ParseError:
+            pass
+    return out
+
+
+def _cef_native_rows(spark, lines):
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    rows = KvParser(type="cef", engine="native").apply(df).collect()
+    return {
+        r.value: {
+            "version": r.parsed.version,
+            "device_vendor": r.parsed.device_vendor,
+            "device_product": r.parsed.device_product,
+            "device_version": r.parsed.device_version,
+            "device_event_class_id": r.parsed.device_event_class_id,
+            "name": r.parsed.name,
+            "severity": r.parsed.severity,
+            "extensions": dict(r.parsed.extensions),
+        }
+        for r in rows
+    }
+
+
+def test_cef_native_engine_matches_oracle(spark):
+    """Zero-Python CEF path vs oracle on the reference fixture vectors +
+    escape/placeholder edge cases (cef_test.go:5-156 semantics)."""
+    lines = [
+        CEF1,
+        CEF2,
+        CEF3,
+        CEF4,
+        CEF5,
+        "",
+        "0|v|p|1.0|id|nm|5|k=v other=x",         # headerless int version
+        "CEF:0|a\\|b|p|1|i|n|3|",                 # escaped pipe in header (split quirk)
+        "CEF:0|v|p|1|i|n|5|msg=hello world foo=1",  # non-kv spaces in value
+        "CEF:0|v|p|1|i|n|5|eq=a\\=b tail=x",      # escaped '=' preserved
+        "CEF:0|v|p|1|i|n|5|url=http://x/y a=b",   # colon placeholder path
+        "notcef|only|three",                        # <7 fields → drop
+        "X:0|v|p|1|i|n|5|a=b",                     # bad prefix → drop
+    ]
+    assert _cef_native_rows(spark, lines) == _cef_expected(lines)
+
+
+def test_cef_native_engine_fuzz(spark):
+    import random
+
+    rng = random.Random(7)
+    alphabet = "ab=|\\: 1.n"
+
+    def rand_line():
+        core = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        return rng.choice(["CEF:0|", "1|", ""]) + core
+
+    lines = list({rand_line() for _ in range(250)})
+    assert _cef_native_rows(spark, lines) == _cef_expected(lines)
+
+
 def test_cef_parser_spark(spark):
     lines = [CEF1, CEF2, CEF3, CEF4, CEF5]
     df = spark.createDataFrame([(l,) for l in lines], ["value"])
