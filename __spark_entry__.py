@@ -215,6 +215,28 @@ FROM orders
 # ---------------------------------------------------------------------------
 
 
+def q_kv_roundtrip_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as kv_roundtrip through the zero-Python native engine — the
+    driver gate certifies BOTH execution strategies."""
+    from collector_spark.operators.kv import KvParser
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lines = orders.select(
+        "o_orderkey",
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("status="), F.col("o_orderstatus")),
+            F.concat(F.lit("prio="), F.translate(F.col("o_orderpriority"), " ", "_")),
+        ).alias("value"),
+    )
+    out = KvParser(type="raw", engine="native").apply(lines)
+    return out.select(
+        "o_orderkey",
+        F.col("parsed")["status"].alias("status"),
+        F.col("parsed")["prio"].alias("prio"),
+    )
+
+
 def q_cef_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collector_spark.operators.kv import KvParser
 
@@ -233,6 +255,33 @@ def q_cef_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value")
     )
     out = KvParser(type="cef").apply(lines)
+    return out.select(
+        F.col("parsed.extensions")["rt"].try_cast("bigint").alias("event_id"),
+        F.col("parsed.device_event_class_id").alias("class_id"),
+        F.col("parsed.severity").alias("severity"),
+        F.col("parsed.extensions")["cat"].alias("cat"),
+    )
+
+
+def q_cef_roundtrip_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cef_roundtrip through the native-Catalyst CEF engine."""
+    from collector_spark.operators.kv import KvParser
+
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        F.concat(
+            F.lit("CEF:0|collector_spark|events|1.0|"),
+            F.col("event_type"),
+            F.lit("|Event "),
+            F.col("event_type"),
+            F.lit("|"),
+            (F.col("event_id") % SEVERITY_MOD).cast("string"),
+            F.lit("|dvc=10.0.0.1 rt="),
+            F.col("event_id").cast("string"),
+            F.lit(" cat=events:synthetic"),
+        ).alias("value")
+    )
+    out = KvParser(type="cef", engine="native").apply(lines)
     return out.select(
         F.col("parsed.extensions")["rt"].try_cast("bigint").alias("event_id"),
         F.col("parsed.device_event_class_id").alias("class_id"),
@@ -1000,7 +1049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_mutate": q_json_mutate,
         "syslog_strip": q_syslog_strip,
         "kv_roundtrip": q_kv_roundtrip,
+        "kv_roundtrip_native": q_kv_roundtrip_native,
         "cef_roundtrip": q_cef_roundtrip,
+        "cef_roundtrip_native": q_cef_roundtrip_native,
         "enrich_broadcast_agg": q_enrich_broadcast_agg,
         "agg_pricing_summary": q_agg_pricing_summary,
         "window_top_orders": q_window_top_orders,
@@ -1042,7 +1093,9 @@ def oracle_sql() -> dict[str, str]:
         "json_mutate": _SQL_JSON_MUTATE,
         "syslog_strip": _SQL_SYSLOG_STRIP,
         "kv_roundtrip": _SQL_KV_ROUNDTRIP,
+        "kv_roundtrip_native": _SQL_KV_ROUNDTRIP,
         "cef_roundtrip": _SQL_CEF_ROUNDTRIP,
+        "cef_roundtrip_native": _SQL_CEF_ROUNDTRIP,
         "enrich_broadcast_agg": _SQL_ENRICH,
         "agg_pricing_summary": _SQL_PRICING,
         "window_top_orders": _SQL_WINDOW_TOP,
