@@ -16,6 +16,7 @@ from collector_spark.operators.json_mutate import JsonMutator
 from collector_spark.operators.kv import KvParser
 from collector_spark.operators.syslog import SyslogParser
 from collector_spark.sinks import SINK_REGISTRY, make_sink
+from collector_spark.sources.sources import SOURCE_REGISTRY, make_source
 
 PROCESSOR_REGISTRY: dict[str, Callable] = {
     "cel": CelFilter,
@@ -33,6 +34,14 @@ def register_sink(name: str, factory: Callable) -> None:
     SINK_REGISTRY[name] = factory
 
 
+def register_source(name: str, factory: Callable) -> None:
+    """Reference RegisterInput (pkg/collector/collector.go:197-207): a
+    source factory returns an object with
+    ``read_new(spark, state) -> (DataFrame, state)`` (batch) and/or
+    ``stream(spark) -> DataFrame``."""
+    SOURCE_REGISTRY[name] = factory
+
+
 def make_processor(kind: str, **config):
     try:
         cls = PROCESSOR_REGISTRY[kind]
@@ -46,8 +55,11 @@ def make_processor(kind: str, **config):
 __all__ = [
     "PROCESSOR_REGISTRY",
     "SINK_REGISTRY",
+    "SOURCE_REGISTRY",
     "register_processor",
     "register_sink",
+    "register_source",
     "make_processor",
     "make_sink",
+    "make_source",
 ]
