@@ -1,3 +1,8 @@
 """Structured Streaming variant of the pipeline."""
 
-from collector_spark.streaming.stream_pipeline import StreamingPipeline  # noqa: F401
+from collector_spark.streaming.stateful import running_counts  # noqa: F401
+from collector_spark.streaming.stream_pipeline import (  # noqa: F401
+    StreamingPipeline,
+    session_counts,
+    windowed_counts,
+)
