@@ -875,12 +875,30 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature vectors from the stubbed decoder (rows-only: sha256-derived
-    fake features are pinned against the Python oracle in pytest)."""
+    """Feature vectors from the stubbed decoder, projected to a hashable
+    form: each float is b/255.0 for one sha256 byte, so reconstructing the
+    byte and hex-encoding yields exactly ``substr(sha256(text), 1, 32)`` —
+    a DuckDB-checkable strong equality on the full vector."""
     from collector_spark.operators.multimodal import extract_media_features
 
     out = extract_media_features(_media_df(spark, sf_dir))
-    return out.select("media_id", "features")
+    hex_bytes = F.transform(
+        "features",
+        lambda x: F.lpad(F.lower(F.hex(F.round(x * 255).cast("int"))), 2, "0"),
+    )
+    return out.select(
+        "media_id",
+        F.size("features").alias("feat_dim"),
+        F.concat_ws("", hex_bytes).alias("feat_hex"),
+    )
+
+
+_SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+       CAST(16 AS INT) AS feat_dim,
+       substr(sha256(text), 1, 32) AS feat_hex
+FROM documents
+"""
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1121,8 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         # ann_ivf_topk with n_probe = n_centroids is EXACT → brute-force oracle
         "ann_ivf_topk": _SQL_ANN,
         "multimodal_meta": _SQL_MULTIMODAL_META,
-        # multimodal_features: sha256-derived stub features — rows-only,
-        # pinned against the Python path in tests/test_training_ops.py.
+        "multimodal_features": _SQL_MULTIMODAL_FEATURES,
         "frame_sample": _SQL_FRAME_SAMPLE,
         "redact_pii": _sql_redact(),
         "distinct_token_ratio": _sql_distinct_ratio(),
