@@ -527,7 +527,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
     copies = emb.withColumn("vec_id", F.col("vec_id") + 1000000)
     pairs = embedding_near_dup_pairs(
-        emb.unionAll(copies), threshold=0.9999, dim=64, bits=16, bands=4
+        emb.unionAll(copies), threshold=0.9999, dim=64, bands=4, band_bits=16
     )
     return pairs.select("id_a", "id_b")
 
@@ -817,11 +817,26 @@ GROUP BY o_orderpriority
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-band sign-LSH in its honest regime: find planted high-cosine
+    neighbors (deterministically perturbed copies, cosine ≈ 0.999) in a
+    corpus.  16-bit band keys keep the candidate join sub-quadratic at
+    any corpus size; recall comes from the 16 bands, not key narrowness
+    (moderate-similarity ANN is ann_ivf_topk's job)."""
     from collector_spark.operators.similarity import lsh_topk
 
-    emb = _embeddings(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    perturbed = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x.cast("double") * (F.lit(1.0) + 0.05 * F.sin(i + F.col("vec_id")))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionAll(perturbed)
     queries = emb.filter(F.col("vec_id") < _ANN_NQ)
-    out = lsh_topk(emb, queries, k=_ANN_K, dim=64, bits=16, bands=8)
+    out = lsh_topk(corpus, queries, k=_ANN_K, dim=64, bands=16, band_bits=16)
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
     )
