@@ -35,6 +35,10 @@ class BatchRecord:
     source_state: dict = field(default_factory=dict)
     per_stage_counts: dict = field(default_factory=dict)
     per_sink_counts: dict = field(default_factory=dict)
+    # diagnostic: empty lines filtered before each sink write (reference
+    # counts these per output, e.g. internal/output/log_analytics/
+    # log_analytics.go:133-135, kafka.go:86-90)
+    per_sink_empty_counts: dict = field(default_factory=dict)
     # per-partition lineage: {spark_partition_id: rows surviving the
     # processor chain} — the partition-granular progress/skew record the
     # north rule asks for (and the reference's per-batch ResultCount,
@@ -125,9 +129,11 @@ class Manifest:
         return out
 
     def status(self) -> Status:
-        """Roll-up (status.go:7-27): last successful batch + error tally;
-        errors_since_successful_run counts errors logged after the last
-        commit."""
+        """Roll-up (status.go:7-27): last successful batch + error tally.
+        A successful run RESETS the visible errors (reference
+        successfulStatus clears Errors/HasErrors, status.go:29-44), so
+        both ``errors`` and ``has_errors`` reflect only errors logged
+        after the last commit."""
         records = self.load()
         errors = self._errors()
         last = records[-1] if records else None
@@ -141,6 +147,6 @@ class Manifest:
             last_successful_result_count=(
                 sum(last.per_sink_counts.values()) if last else 0
             ),
-            errors=[e["error"] for e in errors],
+            errors=[e["error"] for e in since],
             errors_since_successful_run=len(since),
         )

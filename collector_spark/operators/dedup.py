@@ -119,12 +119,20 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     seed: int = 42,
     threshold: float = 0.5,
+    unpersist_into: list | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature
     agreement (estimated Jaccard >= threshold).
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
     across bands.
+
+    Caching contract: the signature table is persisted (it is referenced
+    4x by the returned lazy plan). The returned plan depends on it, so it
+    is NOT unpersisted here; pass ``unpersist_into=[]`` to receive the
+    persisted DataFrame and call ``.unpersist()`` after materializing the
+    result — otherwise the cache lives until the session ends (fine for
+    run-once jobs, a leak for long-lived sessions calling this per batch).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -135,6 +143,8 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    if unpersist_into is not None:
+        unpersist_into.append(sigs)
 
     # band hash only buckets (est_jaccard comes from the signatures), so
     # use native xxhash64 over the band's slots — no string concat, no md5

@@ -49,9 +49,21 @@ def salted_join(
     (key..., salt), drop the salt. Output rows identical to the plain
     join; the hot key's shuffle partition shrinks by ~``buckets``x.
 
+    Only join types that never emit unmatched ``other`` rows are allowed:
+    for right/full joins each unmatched ``other`` row would surface once
+    per salt replica (``buckets`` duplicates), silently corrupting the
+    result — rejected with ValueError instead.
+
     ``salt_by``: row-distinguishing columns of the skewed side used to
     derive the deterministic salt (default: all non-key columns).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched rows of the "
+            f"replicated side; allowed: {sorted(allowed)}"
+        )
     salt_src = [F.col(c) for c in (salt_by or [c for c in skewed.columns if c not in on])]
     l = skewed.withColumn("_salt", salt_col(buckets, *salt_src))
     r = other.withColumn(

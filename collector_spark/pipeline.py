@@ -228,13 +228,18 @@ class Pipeline:
         out = self.transform(df, observations=observations)
 
         per_sink: dict[str, int] = {}
+        per_sink_empty: dict[str, int] = {}
         partition_counts: dict[str, int] = {}
         wrote_any = False
         if self.router is not None:
             views = self.router.split(out, persist=True)
             try:
                 for name, view in views.items():
-                    per_sink[name] = self.sinks[name].write(view, batch_id=batch_id)
+                    sink = self.sinks[name]
+                    per_sink[name] = sink.write(view, batch_id=batch_id)
+                    metrics = getattr(sink, "last_metrics", None) or {}
+                    if metrics.get("empty"):
+                        per_sink_empty[name] = metrics["empty"]
                     wrote_any = True
                 # per-partition lineage over the persisted parent (cheap:
                 # no recompute, one count per cached partition)
@@ -259,6 +264,7 @@ class Pipeline:
             source_state=source_state or {},
             per_stage_counts=per_stage,
             per_sink_counts=per_sink,
+            per_sink_empty_counts=per_sink_empty,
             partition_counts=partition_counts,
         )
         if self.manifest is not None:
@@ -276,12 +282,17 @@ class Pipeline:
         tagged, kept, quarantined = self.transform_tagged(df)
         tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
         per_sink: dict[str, int] = {}
+        per_sink_empty: dict[str, int] = {}
         partition_counts: dict[str, int] = {}
         try:
             if self.router is not None:
                 views = self.router.split(kept, persist=False)
                 for name, view in views.items():
-                    per_sink[name] = self.sinks[name].write(view, batch_id=batch_id)
+                    sink = self.sinks[name]
+                    per_sink[name] = sink.write(view, batch_id=batch_id)
+                    metrics = getattr(sink, "last_metrics", None) or {}
+                    if metrics.get("empty"):
+                        per_sink_empty[name] = metrics["empty"]
             per_sink["__quarantine__"] = self.quarantine_sink.write(
                 quarantined, batch_id=batch_id
             )
@@ -297,6 +308,7 @@ class Pipeline:
             batch_id=batch_id,
             source_state=source_state or {},
             per_sink_counts=per_sink,
+            per_sink_empty_counts=per_sink_empty,
             partition_counts=partition_counts,
         )
         if self.manifest is not None:
@@ -313,9 +325,19 @@ class Pipeline:
         state = self.manifest.last_state() if self.manifest else {}
         df, new_state = self.source.read_new(spark, state)
         batch_id = (self.manifest.last_batch_id() + 1) if self.manifest else 0
-        return self.run_batch(
-            df, batch_id=batch_id, source_state=new_state, on_error=on_error
-        )
+        ack = getattr(self.source, "commit_read", None)
+        try:
+            record = self.run_batch(
+                df, batch_id=batch_id, source_state=new_state, on_error=on_error
+            )
+        except Exception:
+            if ack is not None:
+                ack(False)  # leave messages unacked → queue redelivers
+            raise
+        if ack is not None:
+            committed = self.manifest is None or self.manifest.committed(batch_id)
+            ack(committed)
+        return record
 
     def sink_counts(self, df: DataFrame) -> DataFrame:
         """Per-sink aggregate counts of the transformed stream (one pass)."""

@@ -29,10 +29,31 @@ from __future__ import annotations
 import os
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from collector_spark.oracle import variable_replace
+
+
+def _non_empty():
+    # built lazily: Column construction needs an active SparkSession
+    return F.coalesce(F.length(F.trim("value")) > 0, F.lit(False))
+
+
+def _observe_lines(out: DataFrame) -> tuple[DataFrame, Observation]:
+    """Attach written/empty counters to the write-side plan so the write
+    action itself produces the counts — no second read of the target, no
+    second compute of the upstream (round-1 count-back cost: every sink
+    write re-read or re-ran its input; at 100 TB that doubles sink IO).
+    The empty-line tally mirrors the reference's diagnostic count
+    (internal/output/log_analytics/log_analytics.go:133-135)."""
+    obs = Observation()
+    out = out.observe(
+        obs,
+        F.count(F.when(_non_empty(), 1)).alias("written"),
+        F.count(F.when(~_non_empty(), 1)).alias("empty"),
+    )
+    return out, obs
 
 
 def _templated(path: str, ts: datetime | None = None, uuid: str | None = None) -> str:
@@ -44,6 +65,9 @@ def _templated(path: str, ts: datetime | None = None, uuid: str | None = None) -
 
 
 class _BaseSink:
+    #: metrics of the most recent write(): {"written": n, "empty": m}
+    last_metrics: dict | None = None
+
     def __init__(self, path: str | None = None, **_):
         self.path = path
 
@@ -66,13 +90,17 @@ class ParquetSink(_BaseSink):
 
     def write(self, df: DataFrame, batch_id: int | None = None) -> int:
         target = self.target(batch_id)
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("written"))
         w = df.write.mode("overwrite")
         if self.max_records:
             w = w.option("maxRecordsPerFile", str(self.max_records))
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(target)
-        return _count_written_parquet(df.sparkSession, target)
+        written = int(obs.get["written"])
+        self.last_metrics = {"written": written, "empty": 0}
+        return written
 
 
 class FileSink(_BaseSink):
@@ -90,15 +118,16 @@ class FileSink(_BaseSink):
     def write(self, df: DataFrame, batch_id: int | None = None) -> int:
         target = self.target(batch_id)
         out = df.select(F.col(self.value_col).cast("string").alias("value"))
-        out = out.filter(F.length(F.trim("value")) > 0)  # tmp_writer.go:54-56
+        out, obs = _observe_lines(out)
+        out = out.filter(_non_empty())  # tmp_writer.go:54-56
         w = out.write.mode("overwrite")
         if self.max_records:
             w = w.option("maxRecordsPerFile", str(self.max_records))
         if self.gzip:
             w = w.option("compression", "gzip")
         w.text(target)
-        spark = df.sparkSession
-        return spark.read.text(target).count()
+        self.last_metrics = {k: int(v) for k, v in obs.get.items()}
+        return self.last_metrics["written"]
 
 
 class ConsoleSink:
@@ -117,6 +146,8 @@ class KafkaSink:
     internal/output/kafka/kafka.go:54-108). Requires a reachable broker —
     constructed lazily so the sandbox (no broker) can still build plans."""
 
+    last_metrics: dict | None = None
+
     def __init__(self, brokers: str, topic: str, value_col: str = "value", **_):
         self.brokers = brokers
         self.topic = topic
@@ -124,19 +155,16 @@ class KafkaSink:
 
     def write(self, df: DataFrame, batch_id: int | None = None) -> int:
         out = df.select(F.col(self.value_col).cast("string").alias("value"))
-        out = out.filter(F.length(F.trim("value")) > 0)  # kafka.go:86-90
-        cnt = out.count()
+        out, obs = _observe_lines(out)
+        out = out.filter(_non_empty())  # kafka.go:86-90
         (
             out.write.format("kafka")
             .option("kafka.bootstrap.servers", self.brokers)
             .option("topic", self.topic)
             .save()
         )
-        return cnt
-
-
-def _count_written_parquet(spark, target: str) -> int:
-    return spark.read.parquet(target).count()
+        self.last_metrics = {k: int(v) for k, v in obs.get.items()}
+        return self.last_metrics["written"]
 
 
 class S3Sink(FileSink):
@@ -163,13 +191,19 @@ class GcsSink(FileSink):
     def write(self, df: DataFrame, batch_id: int | None = None) -> int:
         if not self.composite:
             return super().write(df, batch_id=batch_id)
-        # composite append: accumulate parts under ONE object prefix
+        # composite append: accumulate parts under ONE object prefix;
+        # count comes from the write action itself (observe), so it cannot
+        # disagree with what was appended for non-deterministic inputs
         target = _templated(self.path)
         out = df.select(F.col(self.value_col).cast("string").alias("value"))
-        out = out.filter(F.length(F.trim("value")) > 0)
-        cnt = out.count()
-        out.write.mode("append").text(target)
-        return cnt
+        out, obs = _observe_lines(out)
+        out = out.filter(_non_empty())
+        w = out.write.mode("append")
+        if self.gzip:
+            w = w.option("compression", "gzip")
+        w.text(target)
+        self.last_metrics = {k: int(v) for k, v in obs.get.items()}
+        return self.last_metrics["written"]
 
 
 def _http_sinks():

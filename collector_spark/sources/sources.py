@@ -222,26 +222,43 @@ class QueuePollerSource:
     """sqs/pubsub-style queue consumer (internal/input/sqs/sqs.go:61-158,
     pubsub/pubsub.go:66-143): receive up to ``max_messages`` per poll,
     drop empty bodies, stop when a poll comes back short (queue drained).
-    ``receiver(n) -> list[str|None]`` is injected; a real deployment
-    passes a boto3/pubsub receiver; ack-on-success ≈ the Pipeline's
-    commit-after-sinks ordering."""
 
-    def __init__(self, receiver, max_messages: int = 10_000, max_polls: int = 100):
+    Delivery semantics depend on the injected callables:
+
+    - ``receiver(n) -> list[str|None]`` alone: messages are drained on
+      the driver before processing — AT-MOST-ONCE (a failed batch loses
+      them; acceptable only if the queue auto-redelivers unacked reads).
+    - ``receiver(n) -> list[(receipt, body)]`` + ``acker(receipts)``:
+      receipt handles are held until the Pipeline commits the batch
+      (run_tick calls ``commit_read(True)`` after manifest commit,
+      mirroring the reference's delete-after-handle / ack-on-success,
+      sqs.go:129-155, pubsub.go:96-120) — AT-LEAST-ONCE: an uncommitted
+      batch's messages are never acked and the queue redelivers them.
+    """
+
+    def __init__(self, receiver, acker=None, max_messages: int = 10_000, max_polls: int = 100):
         if receiver is None:
             raise ValueError("receiver callable is required")
         self.receiver = receiver
+        self.acker = acker
         self.max_messages = max_messages
         self.max_polls = max_polls
+        self._pending_receipts: list = []
 
     def read_new(
         self, spark: SparkSession, state: dict | None
     ) -> tuple[DataFrame, dict]:
         lines: list[str] = []
+        receipts: list = []
         polls = 0
         while polls < self.max_polls:
             batch = self.receiver(self.max_messages)
             polls += 1
-            for body in batch:
+            for item in batch:
+                receipt, body = item if isinstance(item, tuple) else (None, item)
+                if receipt is not None:
+                    # empty bodies are acked (deleted) too — sqs.go:120-127
+                    receipts.append(receipt)
                 if body is None:
                     continue
                 body = str(body).strip()
@@ -249,10 +266,19 @@ class QueuePollerSource:
                     lines.append(body)
             if len(batch) < self.max_messages:
                 break
+        self._pending_receipts.extend(receipts)
         df = spark.createDataFrame([(l,) for l in lines] or [], "value: string")
         new_state = dict(state or {})
         new_state["polled"] = new_state.get("polled", 0) + len(lines)
         return df, new_state
+
+    def commit_read(self, success: bool) -> None:
+        """Called by Pipeline.run_tick after the batch commits (success)
+        or fails. Ack-on-success only; failed batches leave messages
+        unacked for queue redelivery."""
+        receipts, self._pending_receipts = self._pending_receipts, []
+        if success and self.acker is not None and receipts:
+            self.acker(receipts)
 
 
 SOURCE_REGISTRY = {

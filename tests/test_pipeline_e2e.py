@@ -14,6 +14,7 @@ from collector_spark.operators.enrich import enrich_pages, url_domain, url_tld
 from collector_spark.operators.extract import HtmlExtractor
 from collector_spark.operators.router import Route, Router
 from collector_spark.pipeline import Pipeline, PipelineConfig, SinkSpec
+from collector_spark.sinks.sinks import make_sink
 
 
 def test_router_multi_match_and_counts(spark):
@@ -240,6 +241,7 @@ def test_status_rollup_and_error_drop(spark, tmp_path):
     assert st.last_successful_result_count == 1
     assert st.has_errors
     assert st.errors_since_successful_run == 1
+
     assert "sink exploded" in st.errors[0]
 
     # on_error='raise' propagates AND records
@@ -248,6 +250,16 @@ def test_status_rollup_and_error_drop(spark, tmp_path):
     with _pytest.raises(RuntimeError):
         pipe.run_batch(df, batch_id=2, on_error="raise")
     assert pipe.manifest.status().errors_since_successful_run == 2
+
+    # a later successful run RESETS the visible errors (reference
+    # successfulStatus semantics, status.go:29-44)
+    pipe.sinks["out"] = make_sink("parquet", path=str(tmp_path / "out2"))
+    rec3 = pipe.run_batch(df, batch_id=3)
+    assert rec3.per_sink_counts == {"out": 1}
+    st2 = pipe.manifest.status()
+    assert not st2.has_errors
+    assert st2.errors == []
+    assert st2.errors_since_successful_run == 0
 
 
 def test_config_validation_fails_fast(tmp_path):

@@ -89,6 +89,23 @@ def test_file_sink_templated_path_and_rotation(spark, tmp_path):
     assert len(parts) >= 10  # rotation via maxRecordsPerFile
 
 
+def test_file_sink_counts_from_write_action_and_empty_metric(spark, tmp_path):
+    """Counts come from observe on the write action (no re-read of the
+    target); empty/whitespace lines are filtered AND surfaced as the
+    reference's per-output empty-line diagnostic count
+    (log_analytics.go:133-135)."""
+    rows = [("a",), ("",), ("   ",), ("b",), (None,)]
+    df = spark.createDataFrame(rows, "value string")
+    sink = FileSink(path=str(tmp_path / "out"))
+    n = sink.write(df, batch_id=0)
+    assert n == 2
+    assert sink.last_metrics == {"written": 2, "empty": 3}
+    got = sorted(
+        r.value for r in spark.read.text(str(tmp_path / "out" / "batch_id=0")).collect()
+    )
+    assert got == ["a", "b"]
+
+
 def test_file_source_offset_resume(spark, tmp_path):
     log = tmp_path / "app.log"
     log.write_text("one\ntwo\n")
@@ -175,6 +192,44 @@ def test_queue_poller_source_drains_and_drops_empty(spark):
     assert sorted(r.value for r in df.collect()) == ["a", "b", "c"]
     assert state["polled"] == 3
     assert queue == [[]]  # third poll never issued
+
+
+def test_queue_poller_acks_only_after_commit(spark, tmp_path):
+    """At-least-once with receipt handles: messages are acked only when
+    the Pipeline commits the batch (reference delete-after-handle,
+    sqs.go:129-155); a failed batch leaves them unacked for redelivery."""
+    from collector_spark.pipeline import Pipeline, PipelineConfig, SinkSpec
+    from collector_spark.sources.sources import QueuePollerSource
+
+    queue = [[("r1", "a"), ("r2", ""), ("r3", "b")]]
+    acked: list = []
+
+    def receiver(n):
+        return queue.pop(0) if queue else []
+
+    src = QueuePollerSource(receiver, acker=acked.extend, max_messages=10)
+    config = PipelineConfig(
+        instance_id="q1",
+        sinks=[SinkSpec("out", "file", None, {"path": str(tmp_path / "out")})],
+    )
+    pipe = Pipeline(config, state_dir=str(tmp_path / "state"))
+    pipe.source = src
+
+    rec = pipe.run_tick(spark)
+    assert rec.per_sink_counts == {"out": 2}
+    assert acked == ["r1", "r2", "r3"]  # empty body still acked (deleted)
+
+    # failed batch → nothing acked, receipts dropped for redelivery
+    class BoomSink:
+        def write(self, df, batch_id=None):
+            raise RuntimeError("boom")
+
+    queue.append([("r4", "c")])
+    acked.clear()
+    pipe.sinks["out"] = BoomSink()
+    rec2 = pipe.run_tick(spark, on_error="drop")
+    assert acked == []
+    assert src._pending_receipts == []
 
 
 def test_s3_gcs_sinks_path_and_modes(spark, tmp_path):
