@@ -43,12 +43,15 @@ def register_source(name: str, factory: Callable) -> None:
 
 
 def make_processor(kind: str, **config):
+    from collector_spark.validation import validate_config
+
     try:
         cls = PROCESSOR_REGISTRY[kind]
     except KeyError:
         raise ValueError(
             f"unknown processor {kind!r}; registered: {sorted(PROCESSOR_REGISTRY)}"
         ) from None
+    validate_config("processor", kind, config)
     return cls(**config)
 
 

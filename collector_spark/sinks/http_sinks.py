@@ -36,9 +36,25 @@ def _default_poster(url: str, body: bytes, headers: dict) -> int:
     return resp.status_code
 
 
+def multipart_envelope(
+    field: str, filename: str, content: bytes, boundary: str
+) -> tuple[bytes, dict]:
+    """RFC 2388 multipart/form-data single-file envelope (the wire shape
+    resty's SetFileReader produces for the reference's as_multi_part
+    POSTs, http.go:78-81). Returns (body, content-type header)."""
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="{field}"; filename="{filename}"\r\n'
+        "Content-Type: application/octet-stream\r\n\r\n"
+    ).encode("utf-8") + content + f"\r\n--{boundary}--\r\n".encode("utf-8")
+    return body, {"Content-Type": f"multipart/form-data; boundary={boundary}"}
+
+
 class HttpSink:
     """http output: re-batch lines to ≤max_size KB chunks, POST each as a
-    JSON array (as_json), raw-string array, or plain body.
+    JSON array (as_json), raw-string array, or a multipart file upload
+    (as_multi_part, part names ``<base>_part-<n>.log`` mirroring
+    http.go:78-81).
 
     Reference config {url, headers, max_size(KB, default 128),
     as_multi_part, as_json} — http.go:15-32.
@@ -50,24 +66,35 @@ class HttpSink:
         headers: dict | None = None,
         max_size_kb: int = 128,
         as_json: bool = False,
+        as_multi_part: bool = False,
         value_col: str = "value",
         poster=None,
         **_,
     ):
+        if as_json and as_multi_part:
+            raise ValueError("as_json and as_multi_part are mutually exclusive")
         self.url = url
         self.headers = dict(headers or {})
         self.max_bytes = max_size_kb * 1024
         self.as_json = as_json
+        self.as_multi_part = as_multi_part
         self.value_col = value_col
         self.poster = poster or _default_poster
 
     def write(self, df: DataFrame, batch_id: int | None = None) -> int:
         url, headers = self.url, self.headers
         max_bytes, as_json, poster = self.max_bytes, self.as_json, self.poster
+        as_multi_part = self.as_multi_part
+        part_base = f"batch_{batch_id if batch_id is not None else 0}"
 
         count = df.sparkSession.sparkContext.accumulator(0)
 
         def send(partition) -> None:
+            import hashlib
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId() if TaskContext.get() else 0
             lines = []
             for row in partition:
                 v = row[0]
@@ -76,8 +103,15 @@ class HttpSink:
                 v = str(v).strip()
                 if v:
                     lines.append(v)
-            for chunk in chunk_lines(lines, max_bytes):
-                if as_json:
+            for part_no, chunk in enumerate(chunk_lines(lines, max_bytes), start=1):
+                if as_multi_part:
+                    content = "\n".join(chunk).encode("utf-8")
+                    # unique, deterministic part name per (partition, part)
+                    fname = f"{part_base}-p{pid}_part-{part_no}.log"
+                    boundary = "collector-" + hashlib.md5(content).hexdigest()
+                    body, ct = multipart_envelope("file", fname, content, boundary)
+                    hdrs = {**headers, **ct}
+                elif as_json:
                     parsed = []
                     for ln in chunk:
                         try:
@@ -179,21 +213,68 @@ class LogAnalyticsSink:
         return count.value
 
 
+def _default_publisher(topic_path: str, data: bytes) -> None:
+    """Executor-side publish-and-wait-ack (pubsub.go:101-110). Needs
+    google-cloud-pubsub + credentials — absent offline, hence injectable."""
+    try:
+        from google.cloud import pubsub_v1  # noqa: WPS433
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "PubSubSink needs google-cloud-pubsub and network egress; "
+            "inject a publisher callable for testing"
+        ) from e
+    client = pubsub_v1.PublisherClient()  # pragma: no cover
+    client.publish(topic_path, data).result()  # pragma: no cover
+
+
 class PubSubSink:
     """GCP Pub/Sub publisher (pubsub.go:60-122): per-row publish via
-    foreachPartition. Requires google-cloud-pubsub + credentials —
-    unavailable offline; the class validates config and fails loudly at
-    write time, keeping plan construction testable."""
+    foreachPartition, ack-per-message. Semantics mirror the reference:
+    empty lines skipped (tallied), a failed publish is logged-and-skipped
+    (the line is NOT counted) and the batch continues — pubsub.go:96-119.
 
-    def __init__(self, project_id: str, topic_id: str, credentials: str | None = None, **_):
+    ``publisher(topic_path, data_bytes)`` is injected (same seam as the
+    HTTP ``poster``); raise to signal a failed publish."""
+
+    def __init__(
+        self,
+        project_id: str,
+        topic_id: str,
+        credentials: str | None = None,
+        value_col: str = "value",
+        publisher=None,
+        **_,
+    ):
         if not project_id or not topic_id:
             raise ValueError("project_id and topic_id are required")
         self.project_id = project_id
         self.topic_id = topic_id
         self.credentials = credentials
+        self.value_col = value_col
+        self.publisher = publisher or _default_publisher
+
+    @property
+    def topic_path(self) -> str:
+        return f"projects/{self.project_id}/topics/{self.topic_id}"
 
     def write(self, df: DataFrame, batch_id: int | None = None) -> int:
-        raise NotImplementedError(
-            "PubSubSink needs google-cloud-pubsub and network egress; "
-            "not available in this environment"
-        )
+        topic_path, publisher = self.topic_path, self.publisher
+        count = df.sparkSession.sparkContext.accumulator(0)
+        empty = df.sparkSession.sparkContext.accumulator(0)
+
+        def send(partition) -> None:
+            for row in partition:
+                v = row[0]
+                line = str(v).strip() if v is not None else ""
+                if not line:
+                    empty.add(1)  # pubsub.go:96-99
+                    continue
+                try:
+                    publisher(topic_path, line.encode("utf-8"))
+                except Exception:  # noqa: BLE001 — pubsub.go:107-110
+                    continue
+                count.add(1)
+
+        df.select(F.col(self.value_col).cast("string")).foreachPartition(send)
+        self.last_metrics = {"written": count.value, "empty": empty.value}
+        return count.value

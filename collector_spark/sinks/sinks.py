@@ -144,25 +144,40 @@ class ConsoleSink:
 class KafkaSink:
     """format('kafka') value-per-row producer (reference
     internal/output/kafka/kafka.go:54-108). Requires a reachable broker —
-    constructed lazily so the sandbox (no broker) can still build plans."""
+    constructed lazily so the sandbox (no broker) can still build plans.
+    ``auth_config`` takes the reference's SASL schema (auth.go:13-101),
+    translated to kafka.sasl.* options (sources/kafka_auth.py)."""
 
     last_metrics: dict | None = None
 
-    def __init__(self, brokers: str, topic: str, value_col: str = "value", **_):
+    def __init__(
+        self,
+        brokers: str,
+        topic: str,
+        value_col: str = "value",
+        auth_config: dict | None = None,
+        security_protocol: str = "SASL_SSL",
+        **_,
+    ):
+        from collector_spark.sources.kafka_auth import kafka_auth_options
+
         self.brokers = brokers
         self.topic = topic
         self.value_col = value_col
+        self.auth_options = kafka_auth_options(auth_config, security_protocol)
+
+    def writer_options(self) -> dict[str, str]:
+        opts = {"kafka.bootstrap.servers": self.brokers, "topic": self.topic}
+        opts.update(
+            (k, v) for k, v in self.auth_options.items() if not k.startswith("_jvm.")
+        )
+        return opts
 
     def write(self, df: DataFrame, batch_id: int | None = None) -> int:
         out = df.select(F.col(self.value_col).cast("string").alias("value"))
         out, obs = _observe_lines(out)
         out = out.filter(_non_empty())  # kafka.go:86-90
-        (
-            out.write.format("kafka")
-            .option("kafka.bootstrap.servers", self.brokers)
-            .option("topic", self.topic)
-            .save()
-        )
+        out.write.format("kafka").options(**self.writer_options()).save()
         self.last_metrics = {k: int(v) for k, v in obs.get.items()}
         return self.last_metrics["written"]
 
@@ -224,8 +239,11 @@ SINK_REGISTRY.update(_http_sinks())
 
 
 def make_sink(kind: str, **config):
+    from collector_spark.validation import validate_config
+
     try:
         cls = SINK_REGISTRY[kind]
     except KeyError:
         raise ValueError(f"unknown sink {kind!r}; registered: {sorted(SINK_REGISTRY)}") from None
+    validate_config("sink", kind, config)
     return cls(**config)

@@ -100,22 +100,43 @@ class IncrementalSource:
 class KafkaSource:
     """readStream.format('kafka'); header injection (include_headers →
     the reference's @headers JSON merge, kafka.go:182-214) becomes
-    map_from_entries(headers) merged into the payload."""
+    map_from_entries(headers) merged into the payload. ``auth_config``
+    takes the reference's SASL schema (scram_sha_256/512, gssapi_keytab,
+    internal/integrations/kafka/auth.go:13-101) and is translated to
+    kafka.sasl.* connector options (see sources/kafka_auth.py)."""
 
-    def __init__(self, brokers: str, topic: str, group_id: str = "collector_spark", include_headers: bool = False):
+    def __init__(
+        self,
+        brokers: str,
+        topic: str,
+        group_id: str = "collector_spark",
+        include_headers: bool = False,
+        auth_config: dict | None = None,
+        security_protocol: str = "SASL_SSL",
+    ):
+        from collector_spark.sources.kafka_auth import kafka_auth_options
+
         self.brokers = brokers
         self.topic = topic
         self.group_id = group_id
         self.include_headers = include_headers
+        # validate at config time (reference fails in New*, not on use)
+        self.auth_options = kafka_auth_options(auth_config, security_protocol)
+
+    def reader_options(self) -> dict[str, str]:
+        opts = {
+            "kafka.bootstrap.servers": self.brokers,
+            "subscribe": self.topic,
+            "kafka.group.id": self.group_id,
+            "includeHeaders": str(self.include_headers).lower(),
+        }
+        opts.update(
+            (k, v) for k, v in self.auth_options.items() if not k.startswith("_jvm.")
+        )
+        return opts
 
     def stream(self, spark: SparkSession) -> DataFrame:
-        reader = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", self.brokers)
-            .option("subscribe", self.topic)
-            .option("kafka.group.id", self.group_id)
-            .option("includeHeaders", str(self.include_headers).lower())
-        )
+        reader = spark.readStream.format("kafka").options(**self.reader_options())
         df = reader.load()
         value = F.col("value").cast("string")
         if self.include_headers:
@@ -295,8 +316,11 @@ SOURCE_REGISTRY = {
 
 
 def make_source(kind: str, **config):
+    from collector_spark.validation import validate_config
+
     try:
         cls = SOURCE_REGISTRY[kind]
     except KeyError:
         raise ValueError(f"unknown source {kind!r}; registered: {sorted(SOURCE_REGISTRY)}") from None
+    validate_config("source", kind, config)
     return cls(**config)

@@ -46,6 +46,82 @@ def test_http_sink_posts_json_chunks(spark, tmp_path):
     assert sorted(b["i"] for b in bodies if "i" in b) == list(range(50))
 
 
+def test_http_sink_multipart_envelope(spark, tmp_path):
+    """as_multi_part=true → each chunk POSTed as a multipart/form-data
+    file upload named <base>-p<part>_part-<n>.log (http.go:61-123)."""
+    import re
+
+    def fake_poster(url, body, headers):
+        idx = len([f for f in os.listdir(tmp_path) if f.startswith("mp_")])
+        with open(tmp_path / f"mp_{idx}.bin", "wb") as f:
+            f.write(body)
+        with open(tmp_path / f"mp_{idx}.hdr", "w") as f:
+            f.write(headers["Content-Type"])
+        return 200
+
+    rows = [(f"line-{i}",) for i in range(40)] + [("",)]
+    df = spark.createDataFrame(rows, ["value"]).coalesce(1)
+    sink = HttpSink(
+        "http://example.invalid/up",
+        as_multi_part=True,
+        max_size_kb=1,
+        poster=fake_poster,
+    )
+    n = sink.write(df, batch_id=3)
+    assert n == 40
+
+    parts = sorted(f for f in os.listdir(tmp_path) if f.endswith(".bin"))
+    assert len(parts) >= 1
+    all_lines = []
+    for i, fname in enumerate(parts):
+        body = (tmp_path / fname).read_bytes()
+        ct = (tmp_path / fname.replace(".bin", ".hdr")).read_text()
+        m = re.match(r"multipart/form-data; boundary=(\S+)", ct)
+        assert m, ct
+        boundary = m.group(1)
+        assert body.startswith(f"--{boundary}\r\n".encode())
+        assert body.endswith(f"\r\n--{boundary}--\r\n".encode())
+        head, _, rest = body.partition(b"\r\n\r\n")
+        assert b'Content-Disposition: form-data; name="file"' in head
+        assert re.search(rb'filename="batch_3-p\d+_part-\d+\.log"', head)
+        content = rest.rsplit(f"\r\n--{boundary}--\r\n".encode(), 1)[0]
+        all_lines.extend(content.decode().splitlines())
+    assert sorted(all_lines) == sorted(f"line-{i}" for i in range(40))
+
+
+def test_http_sink_rejects_conflicting_modes():
+    import pytest
+
+    with pytest.raises(ValueError):
+        HttpSink("http://x", as_json=True, as_multi_part=True)
+
+
+def test_pubsub_sink_publishes_per_row_with_injected_publisher(spark, tmp_path):
+    """Fake-publisher e2e (pubsub.go:60-122): per-row publish, empty
+    lines skipped+tallied, a failed publish skipped without failing the
+    batch and NOT counted."""
+    from collector_spark.sinks.http_sinks import PubSubSink
+
+    def fake_publisher(topic_path, data):
+        if data == b"poison":
+            raise RuntimeError("publish failed")
+        idx = len(os.listdir(tmp_path))
+        with open(tmp_path / f"msg_{idx}", "wb") as f:
+            f.write(topic_path.encode() + b"\n" + data)
+
+    rows = [("a",), ("",), ("poison",), ("b",), (None,)]
+    df = spark.createDataFrame(rows, "value string").coalesce(1)
+    sink = PubSubSink("proj", "topic", publisher=fake_publisher)
+    n = sink.write(df, batch_id=0)
+    assert n == 2
+    assert sink.last_metrics == {"written": 2, "empty": 2}
+    msgs = sorted(
+        (tmp_path / f).read_bytes().split(b"\n", 1) for f in os.listdir(tmp_path)
+    )
+    assert [m[1] for m in msgs] == [b"a", b"b"]
+    assert all(m[0] == b"projects/proj/topics/topic" for m in msgs)
+
+
 def test_log_analytics_sink_buffers_and_signs(spark, tmp_path):
     captured = []
 
