@@ -68,30 +68,52 @@ def exact_dup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
 # ---------------------------------------------------------------------------
 
 
+#: docs per vectorization chunk — bounds the (k, n_unique) affine matrix
+#: and (n_unique, 64) bit tables to a few tens of MB per Python worker
+_HASH_CHUNK = 1024
+
+
 def _make_minhash_udf(num_hashes: int, shingle_n: int, seed: int):
     # 31-bit family (oracle._MERSENNE_P = 2^31-1): a*h+b < 2^62 fits
     # uint64, so the whole (k, n_shingles) affine matrix runs in native
-    # numpy — no Python bigints anywhere in the hot path.
+    # numpy — no Python bigints anywhere in the hot path. The remaining
+    # Python cost, md5 per shingle, is paid once per UNIQUE shingle per
+    # chunk (natural text repeats shingles heavily), and the affine
+    # family is likewise evaluated per-unique then gathered per doc.
     coeffs = np.array(oracle._minhash_coeffs(num_hashes, seed), dtype=np.uint64)
     a = coeffs[:, 0][:, None]  # (k, 1)
     b = coeffs[:, 1][:, None]
     p = np.uint64(oracle._MERSENNE_P)
     zero_sig = [0] * num_hashes
 
-    def sig_one(text: str) -> list[int]:
-        shingles = oracle.word_shingles(text or "", shingle_n)
-        if not shingles:
-            return zero_sig
-        hs = np.fromiter(
-            (oracle.shingle_hash(s) for s in shingles),
-            dtype=np.uint64,
-            count=len(shingles),
-        )
-        m = (a * hs[None, :] + b) % p  # (k, n) uint64
-        return m.min(axis=1).astype(np.int64).tolist()
+    def sig_chunk(texts) -> list[list[int]]:
+        uniq: dict[str, int] = {}
+        idx_lists = []
+        for text in texts:
+            shingles = oracle.word_shingles(text or "", shingle_n)
+            idx_lists.append(
+                np.fromiter(
+                    (uniq.setdefault(s, len(uniq)) for s in shingles),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+            )
+        if uniq:
+            hu = np.fromiter(
+                (oracle.shingle_hash(s) for s in uniq), dtype=np.uint64, count=len(uniq)
+            )
+            mu = (a * hu[None, :] + b) % p  # (k, n_unique)
+        return [
+            zero_sig if len(idx) == 0 else mu[:, idx].min(axis=1).astype(np.int64).tolist()
+            for idx in idx_lists
+        ]
 
     def udf(s: pd.Series) -> pd.Series:
-        return s.map(sig_one)
+        out: list = []
+        vals = s.tolist()
+        for i in range(0, len(vals), _HASH_CHUNK):
+            out.extend(sig_chunk(vals[i : i + _HASH_CHUNK]))
+        return pd.Series(out, index=s.index)
 
     return F.pandas_udf(udf, T.ArrayType(T.LongType()))
 
@@ -278,29 +300,51 @@ def ngram_jaccard_pairs(
 
 def _simhash_udf():
     # vectorized bit-vote tally; semantics identical to oracle.simhash64
-    # (md5(token) low-64 bits, vote +1/-1 per bit, bit set iff votes > 0)
+    # (md5(token) low-64 bits, vote +1/-1 per bit, bit set iff votes > 0).
+    # md5 is computed once per UNIQUE token per chunk; the per-bit vote
+    # table is built per-unique and gathered per doc WITH multiplicity
+    # (duplicate tokens vote repeatedly, matching the oracle).
     shifts = np.arange(64, dtype=np.uint64)[None, :]
     weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
-    def one(text: str) -> int:
-        toks = (text or "").split()
-        if not toks:
-            return 0
-        vs = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
-                for t in toks
-            ),
-            dtype=np.uint64,
-            count=len(toks),
-        )
-        bits = (vs[:, None] >> shifts) & np.uint64(1)  # (n, 64)
-        votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
-        h = int((weights * (votes > 0)).sum(dtype=np.uint64))
-        return h - (1 << 64) if h >= (1 << 63) else h  # to signed i64
+    def chunk(texts) -> list[int]:
+        uniq: dict[str, int] = {}
+        idx_lists = []
+        for text in texts:
+            toks = (text or "").split()
+            idx_lists.append(
+                np.fromiter(
+                    (uniq.setdefault(t, len(uniq)) for t in toks),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+            )
+        if uniq:
+            vs = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                    for t in uniq
+                ),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            bits_u = ((vs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        out = []
+        for idx in idx_lists:
+            if len(idx) == 0:
+                out.append(0)
+                continue
+            votes = 2 * bits_u[idx].sum(axis=0) - len(idx)
+            h = int((weights * (votes > 0)).sum(dtype=np.uint64))
+            out.append(h - (1 << 64) if h >= (1 << 63) else h)  # signed i64
+        return out
 
     def udf(s: pd.Series) -> pd.Series:
-        return s.map(one)
+        out: list = []
+        vals = s.tolist()
+        for i in range(0, len(vals), _HASH_CHUNK):
+            out.extend(chunk(vals[i : i + _HASH_CHUNK]))
+        return pd.Series(out, index=s.index)
 
     return F.pandas_udf(udf, T.LongType())
 

@@ -302,11 +302,18 @@ class QueuePollerSource:
             self.acker(receipts)
 
 
+def _syslog_listener(**config):
+    from collector_spark.sources.syslog_listener import SyslogListenerSource
+
+    return SyslogListenerSource(**config)
+
+
 SOURCE_REGISTRY = {
     "file": FileSource,
     "incremental": IncrementalSource,
     "kafka": KafkaSource,
     "socket": SocketSource,
+    "syslog": _syslog_listener,
     "http_poller": HttpPollerSource,
     "msgraph": HttpPollerSource,  # reference name alias
     "queue": QueuePollerSource,

@@ -109,6 +109,16 @@ SOURCE_SCHEMAS: dict[str, dict[str, Spec]] = {
     },
     # internal/input/syslog/syslog.go listener address
     "socket": {"address": spec(str), "port": spec(int, min_value=1)},
+    # internal/input/syslog/syslog.go:20-23 config (flush_frequency maps
+    # to the Pipeline tick cadence; port 0 = ephemeral for tests)
+    "syslog": {
+        "address": spec(str),
+        "port": spec(int, min_value=0),
+        "protocol": spec(str, choices=("tcp", "udp", "both")),
+        "format": spec(
+            str, choices=("automatic", "RFC3164", "RFC5424", "RFC6587", "raw")
+        ),
+    },
     # internal/input/msgraph config (fetcher is the injected HTTP seam)
     "http_poller": {
         "fetcher": Spec(required=True),

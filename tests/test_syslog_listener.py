@@ -1,0 +1,104 @@
+"""Syslog listener: RFC6587 octet-counting / non-transparent framing,
+automatic detection, UDP datagrams, and the live TCP/UDP listener e2e
+(reference internal/input/syslog/syslog.go:20-181, format.go:9-37)."""
+
+import socket
+import time
+
+import pytest
+
+from collector_spark.sources.syslog_listener import (
+    FrameDecoder,
+    SyslogListenerSource,
+    extract_message,
+)
+
+
+def test_framing_newline_delimited():
+    dec = FrameDecoder("raw")
+    assert dec.feed(b"one\ntwo\r\nthr") == ["one", "two"]
+    assert dec.feed(b"ee\n") == ["three"]
+    assert dec.flush() == []
+
+
+def test_framing_octet_counted():
+    dec = FrameDecoder("RFC6587")
+    msg = b"<34>1 2024-01-01T00:00:00Z h app - - - hi"
+    frame = str(len(msg)).encode() + b" " + msg
+    # split across arbitrary TCP segment boundaries
+    assert dec.feed(frame[:10]) == []
+    assert dec.feed(frame[10:] + frame) == [msg.decode()] * 2
+
+
+def test_framing_rfc6587_non_transparent_fallback():
+    # leading non-digit → LF-framed even in RFC6587 mode (go-syslog split)
+    dec = FrameDecoder("RFC6587")
+    assert dec.feed(b"<34>plain line\n") == ["<34>plain line"]
+
+
+def test_framing_automatic_mixed():
+    dec = FrameDecoder("automatic")
+    assert dec.feed(b"5 hello<34>lf line\n") == ["hello", "<34>lf line"]
+
+
+def test_framing_flush_emits_unterminated_tail():
+    dec = FrameDecoder("raw")
+    assert dec.feed(b"partial") == []
+    assert dec.flush() == ["partial"]
+
+
+def test_extract_message_formats():
+    m3164 = "<34>Oct 11 22:14:15 host su: 'su root' failed"
+    m5424 = "<165>1 2003-10-11T22:14:15.003Z host evntslog - ID47 - an event"
+    assert extract_message(m3164, "RFC3164") == "su: 'su root' failed"
+    assert extract_message(m5424, "RFC5424") == "an event"
+    # automatic: tries 5424 then 3164, raw passthrough on failure
+    assert extract_message(m5424, "automatic") == "an event"
+    assert extract_message(m3164, "automatic") == "su: 'su root' failed"
+    assert extract_message("not syslog", "automatic") == "not syslog"
+    assert extract_message(m3164, "raw") == m3164
+
+
+def _wait_for(cond, timeout=5.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if cond():
+            return True
+        time.sleep(0.05)
+    return False
+
+
+def test_listener_tcp_octet_and_udp_datagrams(spark):
+    src = SyslogListenerSource(port=0, protocol="both", format="RFC6587").start()
+    try:
+        msg = b"<34>1 2024-01-01T00:00:00Z h app - - - tcp-hello"
+        frame = str(len(msg)).encode() + b" " + msg
+        with socket.create_connection(("127.0.0.1", src.tcp_port), timeout=5) as s:
+            s.sendall(frame + b"<34>lf-msg\n")
+        u = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        u.sendto(b"<34>udp-hello", ("127.0.0.1", src.udp_port))
+        u.close()
+        assert _wait_for(lambda: len(src._messages) >= 3), src._messages
+
+        df, state = src.read_new(spark, None)
+        got = sorted(r.value for r in df.collect())
+        # RFC6587 format extracts the 5424 MSG part; unparseable pass raw
+        assert got == ["<34>lf-msg", "<34>udp-hello", "tcp-hello"]
+        assert state["received"] == 3
+
+        # drained: next read is empty, state accumulates
+        df2, state2 = src.read_new(spark, state)
+        assert df2.count() == 0 and state2["received"] == 3
+    finally:
+        src.stop()
+
+
+def test_listener_registered_and_validated():
+    from collector_spark.sources.sources import make_source
+
+    src = make_source("syslog", port=0, protocol="udp", format="automatic")
+    assert isinstance(src, SyslogListenerSource)
+    with pytest.raises(ValueError):
+        make_source("syslog", protocol="sctp")
+    with pytest.raises(ValueError):
+        make_source("syslog", format="RFC9999")
