@@ -858,6 +858,23 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with distributed k-means-refined centroids (2 Lloyd
+    iterations). All lists probed → still exact, so the same brute-force
+    oracle applies; the refinement's recall effect at n_probe <
+    n_centroids is pinned in tests/test_training_ops.py."""
+    from collector_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ)
+    out = ivf_topk(
+        emb, queries, k=_ANN_K, dim=64, n_centroids=16, n_probe=16, kmeans_iters=2
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 27/28. Multimodal plumbing (decode stubbed per build brief; Spark-side
 #        schema/batching real — operators/multimodal.py)
@@ -1107,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_shuffle_agg": q_join_shuffle_agg,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
@@ -1153,6 +1171,9 @@ def oracle_sql() -> dict[str, str]:
         # recall pinned vs brute force in tests/test_training_ops.py.
         # ann_ivf_topk with n_probe = n_centroids is EXACT → brute-force oracle
         "ann_ivf_topk": _SQL_ANN,
+        # all-lists-probed IVF is exact whatever the centroids are, so
+        # the k-means-refined variant shares the brute-force oracle
+        "ann_ivf_kmeans_topk": _SQL_ANN,
         "multimodal_meta": _SQL_MULTIMODAL_META,
         "multimodal_features": _SQL_MULTIMODAL_FEATURES,
         "frame_sample": _SQL_FRAME_SAMPLE,

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "join_shuffle_agg",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
     "multimodal_features",
 ]
 

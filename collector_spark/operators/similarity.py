@@ -213,8 +213,9 @@ def _centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
-def _make_assign_udf(dim: int, n_centroids: int, seed: int, n_probe: int):
-    planes = _centroids(dim, n_centroids, seed)
+def _make_assign_udf_from(planes: np.ndarray, n_probe: int):
+    """Assignment UDF over an explicit (n_centroids, dim) matrix —
+    closure-shipped to executors (tiny: n_centroids*dim doubles)."""
 
     def udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in it:
@@ -229,6 +230,49 @@ def _make_assign_udf(dim: int, n_centroids: int, seed: int, n_probe: int):
     return F.pandas_udf(udf, T.ArrayType(T.IntegerType()))
 
 
+def _make_assign_udf(dim: int, n_centroids: int, seed: int, n_probe: int):
+    return _make_assign_udf_from(_centroids(dim, n_centroids, seed), n_probe)
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    seed: int = 42,
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) refinement of the seeded
+    centroids. Each iteration is ONE Spark job: assign (pandas UDF,
+    executor-side) → per-cluster per-component mean (native avg columns,
+    map-side combined, shuffles n_centroids rows) → collect the tiny
+    (n_centroids, dim) matrix to the driver and renormalize. Deterministic
+    (seeded init, no sampling), so results are reproducible anywhere.
+
+    This addresses the random-centroid recall/parallelism bound: refined
+    centroids track the data distribution, balancing inverted-list sizes
+    (parallelism) and tightening the probe neighborhoods (recall)."""
+    planes = _centroids(dim, n_centroids, seed)
+    vecs = corpus.select(F.col(vec_col).alias("_v"))
+    for _ in range(n_iter):
+        assign = _make_assign_udf_from(planes, 1)
+        assigned = vecs.select(
+            F.explode(assign(F.col("_v"))).alias("list_id"), F.col("_v")
+        )
+        means = (
+            assigned.groupBy("list_id")
+            .agg(*[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        new_planes = planes.copy()  # empty clusters keep their centroid
+        for row in means:
+            new_planes[row["list_id"]] = [row[f"c{i}"] for i in range(dim)]
+        norms = np.linalg.norm(new_planes, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        planes = new_planes / norms
+    return planes
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -239,6 +283,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in ONE inverted list
     (their nearest centroid); each query probes its ``n_probe`` nearest
@@ -248,10 +293,17 @@ def ivf_topk(
     cardinality key — repartition once, reuse for every query batch);
     per-query work is |corpus|*(n_probe/n_centroids) instead of |corpus|.
     Recall tuning is n_probe (and centroid quality); n_probe=n_centroids
-    degrades gracefully to exact brute force.
+    degrades gracefully to exact brute force. ``kmeans_iters > 0`` runs
+    that many distributed Lloyd iterations to fit the centroids to the
+    corpus first (see kmeans_centroids) — scale n_centroids ~ sqrt(N)
+    with corpus size and refine for balanced lists.
     """
-    assign = _make_assign_udf(dim, n_centroids, seed, 1)
-    probe = _make_assign_udf(dim, n_centroids, seed, n_probe)
+    if kmeans_iters > 0:
+        planes = kmeans_centroids(corpus, vec_col, dim, n_centroids, kmeans_iters, seed)
+    else:
+        planes = _centroids(dim, n_centroids, seed)
+    assign = _make_assign_udf_from(planes, 1)
+    probe = _make_assign_udf_from(planes, n_probe)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

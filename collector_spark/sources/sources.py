@@ -34,40 +34,93 @@ class FileSource:
 
     State: {file_path: file_position} exactly like the reference
     (internal/input/file/file.go state, state.go:8-58); offset resets to 0
-    when a file shrank (read.go:30-36). Reading the tail slice uses a
-    driver-side seek per file (files are line logs; the tail is the new
-    data) then parallelizes the lines — at cluster scale the idiomatic
-    replacement is readStream.text with its own tracking, provided by
-    ``stream()``.
+    when a file shrank (read.go:30-36).
+
+    Memory contract: small tails (≤ ``max_driver_bytes``) are read
+    driver-side and parallelized (they're the common steady-state tick).
+    LARGER tails never materialize on the driver — they are stream-copied
+    in bounded chunks to a local spill file (the reference's own
+    TmpWriter architecture, pkg/core/tmp_writer.go) and read back with
+    ``spark.read.text`` — distributed scan, driver RAM bounded at the
+    copy-buffer size regardless of backlog. Spill files from the previous
+    tick are deleted at the START of the next read (by then the batch has
+    committed); at cluster scale the idiomatic replacement is
+    ``stream()``'s readStream.text tracking.
     """
 
-    def __init__(self, path: str, delete: bool = False):
+    _COPY_BUF = 8 * 1024 * 1024
+
+    def __init__(
+        self,
+        path: str,
+        delete: bool = False,
+        max_driver_bytes: int = 64 * 1024 * 1024,
+        spill_dir: str | None = None,
+    ):
+        import tempfile
+
         self.path = path
         self.delete = delete
+        self.max_driver_bytes = max_driver_bytes
+        self.spill_dir = spill_dir or tempfile.mkdtemp(prefix="collector_spark_spill_")
+        self._spill_seq = 0
+
+    def _spill_tail(self, fpath: str, offset: int, size: int) -> str:
+        """Copy bytes [offset, size) to a spill file in bounded chunks."""
+        self._spill_seq += 1
+        out_path = os.path.join(self.spill_dir, f"tail_{self._spill_seq}.txt")
+        remaining = size - offset
+        with open(fpath, "rb") as src, open(out_path, "wb") as dst:
+            src.seek(offset)
+            while remaining > 0:
+                chunk = src.read(min(self._COPY_BUF, remaining))
+                if not chunk:
+                    break
+                dst.write(chunk)
+                remaining -= len(chunk)
+        return out_path
+
+    def _clean_spill(self) -> None:
+        for fname in os.listdir(self.spill_dir):
+            if fname.startswith("tail_"):
+                os.remove(os.path.join(self.spill_dir, fname))
 
     def read_new(
         self, spark: SparkSession, state: dict | None
     ) -> tuple[DataFrame, dict]:
         state = dict(state or {})
+        self._clean_spill()  # previous tick's batch has committed by now
         lines: list[str] = []
+        spilled: list[str] = []
         for fpath in sorted(_glob.glob(self.path)):
             size = os.path.getsize(fpath)
             offset = int(state.get(fpath, 0))
             if size < offset:
                 offset = 0  # file shrank/rotated → restart (read.go:30-36)
             if size > offset:
-                with open(fpath, "rb") as f:
-                    f.seek(offset)
-                    chunk = f.read()
-                state[fpath] = offset + len(chunk)
-                for ln in chunk.decode("utf-8", errors="replace").split("\n"):
-                    ln = ln.strip()
-                    if ln:
-                        lines.append(ln)
+                if size - offset > self.max_driver_bytes:
+                    spilled.append(self._spill_tail(fpath, offset, size))
+                    state[fpath] = size
+                else:
+                    with open(fpath, "rb") as f:
+                        f.seek(offset)
+                        chunk = f.read()
+                    state[fpath] = offset + len(chunk)
+                    for ln in chunk.decode("utf-8", errors="replace").split("\n"):
+                        ln = ln.strip()
+                        if ln:
+                            lines.append(ln)
             if self.delete and size == state.get(fpath, 0):
                 os.remove(fpath)
                 state.pop(fpath, None)
         df = spark.createDataFrame([(l,) for l in lines] or [], "value: string")
+        if spilled:
+            big = (
+                spark.read.text(spilled)
+                .select(F.trim("value").alias("value"))
+                .filter(F.length("value") > 0)
+            )
+            df = df.unionAll(big)
         return df, state
 
     def stream(self, spark: SparkSession) -> DataFrame:

@@ -99,7 +99,12 @@ _KAFKA_COMMON = {
 
 SOURCE_SCHEMAS: dict[str, dict[str, Spec]] = {
     # internal/input/file/file.go config
-    "file": {"path": spec(str, required=True), "delete": spec(bool)},
+    "file": {
+        "path": spec(str, required=True),
+        "delete": spec(bool),
+        "max_driver_bytes": spec(int, min_value=1),
+        "spill_dir": spec(str),
+    },
     "incremental": {"table_path": spec(str, required=True), "ts_col": spec(str)},
     # internal/input/kafka/kafka.go:24-37
     "kafka": {

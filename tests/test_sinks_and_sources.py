@@ -270,6 +270,36 @@ def test_queue_poller_source_drains_and_drops_empty(spark):
     assert queue == [[]]  # third poll never issued
 
 
+def test_file_source_spills_large_tails_off_driver(spark, tmp_path):
+    """Tails above max_driver_bytes are stream-copied to a spill file and
+    read back distributed (spark.read.text) — never held in driver RAM.
+    Offsets, shrink-reset, and content match the driver-side path."""
+    log = tmp_path / "big.log"
+    log.write_text("".join(f"row-{i}\n" for i in range(100)) + "  \n")
+    src = FileSource(
+        str(tmp_path / "*.log"),
+        max_driver_bytes=16,  # force the spill path
+        spill_dir=str(tmp_path / "spill"),
+    )
+    os.makedirs(tmp_path / "spill", exist_ok=True)
+    df, state = src.read_new(spark, None)
+    got = sorted(r.value for r in df.collect())
+    assert got == sorted(f"row-{i}" for i in range(100))  # blank line dropped
+    assert state[str(log)] == log.stat().st_size
+    assert any(f.startswith("tail_") for f in os.listdir(tmp_path / "spill"))
+
+    # nothing new → empty read; spill files from last tick cleaned up
+    df2, state2 = src.read_new(spark, state)
+    assert df2.count() == 0
+    assert not any(f.startswith("tail_") for f in os.listdir(tmp_path / "spill"))
+
+    # append a small tail → driver path resumes from the byte offset
+    with open(log, "a") as f:
+        f.write("row-100\n")
+    df3, state3 = src.read_new(spark, state2)
+    assert [r.value for r in df3.collect()] == ["row-100"]
+
+
 def test_queue_poller_acks_only_after_commit(spark, tmp_path):
     """At-least-once with receipt handles: messages are acked only when
     the Pipeline commits the batch (reference delete-after-handle,

@@ -166,6 +166,41 @@ def test_ivf_topk_recall_and_exact_degradation(spark):
     assert len(approx_set & exact_set) / len(exact_set) >= 0.5
 
 
+def test_ivf_kmeans_refinement_improves_partition_quality(spark):
+    """Distributed Lloyd refinement: on clustered data the fitted
+    centroids must separate the clusters (each true cluster lands in one
+    inverted list) and keep exactness when probing all lists."""
+    rng = np.random.RandomState(3)
+    centers = rng.randn(4, 8) * 3
+    rows = []
+    for i in range(80):
+        c = i % 4
+        v = centers[c] + rng.randn(8) * 0.1
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    planes = similarity.kmeans_centroids(df, dim=8, n_centroids=4, n_iter=3)
+    assert planes.shape == (4, 8)
+    # every point of a true cluster assigns to the same refined centroid
+    mat = np.array([r[1] for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    assign = np.argmax(mat @ planes.T, axis=1)
+    for c in range(4):
+        members = assign[c::4]
+        assert len(set(members.tolist())) == 1, (c, members)
+
+    # refined IVF with n_probe=1 on clustered data ≈ exact for same-cluster
+    # neighbors; probing all lists stays exact
+    queries = df.filter(F.col("vec_id") < 4)
+    exact = similarity.brute_force_topk(df, queries, k=3)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = similarity.ivf_topk(
+        df, queries, k=3, dim=8, n_centroids=4, n_probe=1, kmeans_iters=3
+    )
+    got_set = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    assert len(got_set & exact_set) / len(exact_set) >= 0.9
+
+
 def test_embedding_near_dup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
