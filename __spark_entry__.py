@@ -467,6 +467,62 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
 
 
+def _sql_minhash_lsh() -> str:
+    """Full MinHash-LSH in DuckDB: the md5-seeded 31-bit affine family is
+    EXACT integer math, so the (a, b) coefficients bake into SQL literals
+    and the whole pipeline — shingling, signatures, banding, signature-
+    agreement Jaccard — replays byte-identically. (Banding compares the
+    band's signature slots directly where Spark buckets them through
+    xxhash64 — identical pair sets modulo a ~2^-64 hash collision.)"""
+    from collector_spark.oracle import _minhash_coeffs
+
+    sig_terms = ",".join(
+        f"CASE WHEN len(hl)=0 THEN 0 ELSE "
+        f"list_min(list_transform(hl, h -> ({a}*h+{b})%2147483647)) END"
+        for a, b in _minhash_coeffs(64, 42)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' tail marker' FROM documents
+),
+words AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') ws
+  FROM base
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) = 0 THEN []
+              WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END shingles
+  FROM words
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(shingles,
+           s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) & 2147483647) hl
+  FROM sh
+),
+sig AS (SELECT doc_id, [{sig_terms}] sg FROM hs),
+banded AS (SELECT doc_id, sg, unnest(range(0, 16)) band FROM sig),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.doc_id < r.doc_id
+   AND l.sg[l.band*4 + 1 : l.band*4 + 4] = r.sg[r.band*4 + 1 : r.band*4 + 4]
+)
+SELECT id_a, id_b,
+       ROUND(list_sum(list_transform(range(1, 65),
+               i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 64.0,
+             4) AS est_jaccard
+FROM cand JOIN sig a ON cand.id_a = a.doc_id JOIN sig b ON cand.id_b = b.doc_id
+WHERE list_sum(list_transform(range(1, 65),
+        i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 64.0 >= 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # 14. SimHash fingerprints (rows-only oracle, pinned in pytest)
 # ---------------------------------------------------------------------------
@@ -478,6 +534,41 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).select("doc_id", "text")
     copies = docs.withColumn("doc_id", F.col("doc_id") + 1000000)
     return simhash_near_pairs(docs.unionAll(copies), max_hamming=0)
+
+
+def _sql_simhash_pairs() -> str:
+    """SimHash in DuckDB: md5(token) low-64 bits as UBIGINT, per-bit
+    ±1 votes as 64 aggregates, fingerprint reassembled, hamming-0 pairs
+    by fingerprint equality. Exact integer math — byte-identical to
+    oracle.simhash64 / the Spark UDF."""
+    vote_terms = ",".join(
+        f"SUM(CASE WHEN (v >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    fp_terms = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS HUGEINT) ELSE 0 END"
+        for i in range(64)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) tok
+  FROM base
+),
+tv AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) v FROM toks),
+votes AS (SELECT doc_id, {vote_terms} FROM tv GROUP BY doc_id),
+fp AS (
+  SELECT base.doc_id, COALESCE({fp_terms}, 0) AS f
+  FROM base LEFT JOIN votes USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -608,12 +699,24 @@ _SQL_FP = "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
 def q_dedup_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash fingerprint (rows-only oracle; Python-oracle pinned
-    in tests/test_training_ops.py)."""
+    """Rolling polynomial fingerprint (also Python-oracle pinned in
+    tests/test_training_ops.py; DuckDB oracle below replays the exact
+    byte-wise fold in HUGEINT)."""
     from collector_spark.operators.textstats import fingerprint_col
 
     docs = _documents(spark, sf_dir)
     return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+
+
+_SQL_FP_ROLLING = """
+SELECT doc_id, CAST(list_reduce(
+  list_prepend(CAST(0 AS HUGEINT),
+    list_transform(range(1, octet_length(encode(text)) + 1),
+      i -> CAST(CAST(('0x' || substr(hex(encode(text)), 2*i-1, 2)) AS UBIGINT) AS HUGEINT))),
+  (acc, b) -> (acc * 257 + b) % 2305843009213693951
+) AS BIGINT) AS fp
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1152,9 +1255,12 @@ def oracle_sql() -> dict[str, str]:
         "window_top_orders": _SQL_WINDOW_TOP,
         "event_window_agg": _SQL_EVENT_WINDOW,
         "dedup_exact": _SQL_DEDUP_EXACT,
-        # dedup_minhash_lsh / dedup_simhash / fingerprint_rolling:
-        # md5-based hash families — not SQL-expressible; rows-only check
-        # (pinned against the Python oracle in pytest).
+        # the md5-seeded integer hash families replay exactly in DuckDB
+        # (coefficients baked as literals); only the float-hyperplane
+        # ann_lsh_topk stays rows-only (FP summation order differs).
+        "dedup_minhash_lsh": _sql_minhash_lsh(),
+        "dedup_simhash": _sql_simhash_pairs(),
+        "fingerprint_rolling": _SQL_FP_ROLLING,
         "ann_cosine_topk": _SQL_ANN,
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
         "lang_id": _sql_lang_id(),
