@@ -571,6 +571,39 @@ FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
 """
 
 
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup groups via min-label connected components
+    with pointer jumping. The corpus is 4 generations of each doc chained
+    by near-dup edges (doc ↔ doc+1M ↔ doc+2M ↔ doc+3M, diameter 3) — the
+    oracle is the closed form (component = doc_id mod 1M), which only a
+    correct transitive closure reproduces."""
+    from collector_spark.operators.dedup import near_dedup_groups
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    gens = [docs.select((F.col("doc_id") + 1000000 * g).alias("doc_id")) for g in range(4)]
+    corpus = gens[0]
+    for g in gens[1:]:
+        corpus = corpus.unionAll(g)
+    edges = None
+    for g in range(3):
+        e = docs.select(
+            (F.col("doc_id") + 1000000 * g).alias("id_a"),
+            (F.col("doc_id") + 1000000 * (g + 1)).alias("id_b"),
+        )
+        edges = e if edges is None else edges.unionAll(e)
+    out = near_dedup_groups(corpus, edges)
+    return out.select("doc_id", "representative")
+
+
+_SQL_CONNECTED = """
+WITH gens AS (
+  SELECT doc_id + 1000000 * g.g AS doc_id, doc_id AS representative
+  FROM documents, (SELECT unnest(range(0, 4)) AS g) g
+)
+SELECT doc_id, representative FROM gens
+"""
+
+
 # ---------------------------------------------------------------------------
 # 15. ANN brute-force cosine top-k
 # ---------------------------------------------------------------------------
@@ -1212,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_connected_components": q_dedup_connected_components,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
@@ -1260,6 +1294,7 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh_topk stays rows-only (FP summation order differs).
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "dedup_simhash": _sql_simhash_pairs(),
+        "dedup_connected_components": _SQL_CONNECTED,
         "fingerprint_rolling": _SQL_FP_ROLLING,
         "ann_cosine_topk": _SQL_ANN,
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,

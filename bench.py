@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
+    "dedup_connected_components",
     "multimodal_features",
 ]
 

@@ -76,46 +76,38 @@ _HASH_CHUNK = 1024
 def _make_minhash_udf(num_hashes: int, shingle_n: int, seed: int):
     # 31-bit family (oracle._MERSENNE_P = 2^31-1): a*h+b < 2^62 fits
     # uint64, so the whole (k, n_shingles) affine matrix runs in native
-    # numpy — no Python bigints anywhere in the hot path. The remaining
-    # Python cost, md5 per shingle, is paid once per UNIQUE shingle per
-    # chunk (natural text repeats shingles heavily), and the affine
-    # family is likewise evaluated per-unique then gathered per doc.
+    # numpy — no Python bigints anywhere in the hot path.
+    #
+    # Deliberately PER-DOC (not batch-unique-dedup like _simhash_udf):
+    # word 3-gram shingles on real corpora are ~100% unique within a
+    # batch, so a unique-shingle dict + per-doc gather adds dict churn
+    # and an extra (k, n_unique) matrix pass while saving no md5 calls —
+    # measured 3.5x SLOWER on web-like text (round-2 offline bench).
+    # Tokens (simhash) repeat heavily; shingles don't.
     coeffs = np.array(oracle._minhash_coeffs(num_hashes, seed), dtype=np.uint64)
     a = coeffs[:, 0][:, None]  # (k, 1)
     b = coeffs[:, 1][:, None]
     p = np.uint64(oracle._MERSENNE_P)
     zero_sig = [0] * num_hashes
 
-    def sig_chunk(texts) -> list[list[int]]:
-        uniq: dict[str, int] = {}
-        idx_lists = []
-        for text in texts:
-            shingles = oracle.word_shingles(text or "", shingle_n)
-            idx_lists.append(
-                np.fromiter(
-                    (uniq.setdefault(s, len(uniq)) for s in shingles),
-                    dtype=np.int64,
-                    count=len(shingles),
-                )
-            )
-        if uniq:
-            hu = np.fromiter(
-                (oracle.shingle_hash(s) for s in uniq), dtype=np.uint64, count=len(uniq)
-            )
-            mu = (a * hu[None, :] + b) % p  # (k, n_unique)
-        return [
-            zero_sig if len(idx) == 0 else mu[:, idx].min(axis=1).astype(np.int64).tolist()
-            for idx in idx_lists
-        ]
+    def sig_one(text: str) -> list[int]:
+        shingles = oracle.word_shingles(text or "", shingle_n)
+        if not shingles:
+            return zero_sig
+        hs = np.fromiter(
+            (oracle.shingle_hash(s) for s in shingles),
+            dtype=np.uint64,
+            count=len(shingles),
+        )
+        m = (a * hs[None, :] + b) % p  # (k, n) uint64
+        return m.min(axis=1).astype(np.int32).tolist()
 
     def udf(s: pd.Series) -> pd.Series:
-        out: list = []
-        vals = s.tolist()
-        for i in range(0, len(vals), _HASH_CHUNK):
-            out.extend(sig_chunk(vals[i : i + _HASH_CHUNK]))
-        return pd.Series(out, index=s.index)
+        return s.map(sig_one)
 
-    return F.pandas_udf(udf, T.ArrayType(T.LongType()))
+    # 31-bit values fit IntegerType — halves signature shuffle bytes in
+    # the verify joins (values identical to the oracle's Python ints)
+    return F.pandas_udf(udf, T.ArrayType(T.IntegerType()))
 
 
 def minhash_signatures(
@@ -238,6 +230,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    unpersist_into: list | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word shingles for candidate pairs only (the
     verify stage after LSH; never all-pairs).
@@ -247,7 +240,10 @@ def ngram_jaccard_pairs(
     each candidate pair through the token table twice (join on id_a,
     then on (id_b, shingle)); |union| = |A| + |B| - |A∩B| from per-doc
     distinct counts. All shuffles key on ids or (id, shingle) tokens —
-    small rows, hash-distributed, skew-free."""
+    small rows, hash-distributed, skew-free. The token table is
+    referenced 3x by the plan (two intersection joins + sizes), so it is
+    persisted once — same caching contract as minhash_lsh_pairs: pass
+    ``unpersist_into=[]`` to release it after materializing."""
     # split ONCE per row in a projection — referencing the split result
     # inside the transform() lambda would re-run it per shingle
     # (O(words^2) per doc; Catalyst does not hoist it out of the lambda)
@@ -259,10 +255,15 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_n)),
         )
     )
+    from pyspark import StorageLevel
+
     tokens = df.select(
         F.col(id_col).alias("_id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
     ).select("_id", F.explode(shingles).alias("_sh"))
+    tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
+    if unpersist_into is not None:
+        unpersist_into.append(tokens)
     sizes = tokens.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
 
     cand = candidate_pairs.select("id_a", "id_b")
@@ -291,6 +292,115 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Connected components (near-dup pairs → dedup groups)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Undirected edge list → (id, component) with component = the MIN id
+    reachable from each node. This is how near-dup PAIRS become dedup
+    GROUPS: transitively connected docs collapse to one representative.
+
+    Algorithm: min-label propagation WITH pointer jumping — each round a
+    node takes min(own, neighbors' labels), then follows its label's
+    label (label(label(id))), so reach roughly doubles per round:
+    O(log diameter) rounds, each checked by counting changed labels (one
+    action per round). Near-dup graphs are unions of small cliques/
+    chains, so 2-3 rounds typically suffice; the large-star/small-star
+    variant has the same join shape if pathological graphs ever demand
+    it.
+
+    Scale shape: every round is one join of (edges × labels) + a min
+    aggregation, all keyed on ids — hash-partitioned, map-side combined,
+    no skew beyond the graph's own degree distribution (a celebrity node
+    is a genuine hot key; pre-salt with salted_join if needed). Labels
+    are persisted per round and the previous round unpersisted."""
+    from pyspark import StorageLevel
+
+    sym = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # the edge list is joined every round — compute its (possibly
+    # expensive, e.g. LSH-derived) plan once
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("component")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    labels.count()  # materialize before the loop
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)  # referenced twice below
+        )
+        # pointer jump: follow the label's own label (doubles reach)
+        parents = stepped.select(
+            F.col("id").alias("pid"), F.col("component").alias("pcomp")
+        )
+        new_labels = (
+            stepped.join(parents, stepped.component == parents.pid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("pcomp", "component")
+                ).alias("component"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        stepped.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    # NOTE: the returned labels DataFrame is already materialized and
+    # persisted (the convergence check counted it) — callers that keep it
+    # long-term should .unpersist() when done
+    return labels
+
+
+def near_dedup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(corpus, near-dup pairs) → (doc_id, representative): every doc maps
+    to its component's min id (docs in no pair represent themselves).
+    Downstream dedup = keep rows where doc_id == representative."""
+    comp = connected_components(pairs, id_a, id_b)
+    return df.select(F.col(id_col)).join(
+        comp, df[id_col] == comp.id, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("component", F.col(id_col)).alias("representative"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -76,6 +76,25 @@ def test_simhash_matches_oracle_and_finds_pairs(spark):
     assert pairs.get((0, 3)) == 0
 
 
+def test_connected_components_chains_and_cliques(spark):
+    """Min-label propagation: chains need diameter rounds; isolated docs
+    self-represent; components = min reachable id."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    comp = {r.id: r.component for r in dedup.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    corpus = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], ["doc_id"])
+    reps = {
+        r.doc_id: r.representative
+        for r in dedup.near_dedup_groups(corpus, edges).collect()
+    }
+    assert reps[99] == 99  # no pair → self-representative
+    assert reps[4] == 1 and reps[21] == 20
+
+
 def _emb(spark, n=40, dim=8):
     rows = []
     rng = np.random.RandomState(7)
