@@ -74,6 +74,49 @@ def test_pages_job_plan_shape(spark, pages_path):
     assert sum(r["all"] for r in counts_ok.values()) == 256
 
 
+def test_lsh_topk_plan_no_cartesian_and_keyed_joins(spark):
+    """The wide-band LSH candidate join must be a keyed (band, bv) join —
+    never a cartesian product — and the binary explode stays pre-join."""
+    from collector_spark.operators.similarity import lsh_topk
+    from collector_spark.plans.inspect import executed_plan
+
+    rows = [(i, [float(i % 7), float(i % 3), 1.0, 0.5]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = lsh_topk(df, df.limit(3), k=2, dim=4, bands=4, band_bits=8)
+    plan = executed_plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "bv" in plan  # joins keyed on band buckets
+
+
+def test_multimodal_binary_never_shuffled(spark):
+    """Media bytes are consumed in the scan-side mapInPandas; no Exchange
+    carries the binary column (the 100 TB no-shuffle-binaries contract)."""
+    from collector_spark.operators.multimodal import extract_media_features
+    from collector_spark.plans.inspect import executed_plan
+
+    df = spark.createDataFrame(
+        [(i, bytes([i] * 64)) for i in range(8)], "media_id long, data binary"
+    )
+    feats = extract_media_features(df)
+    agg = feats.groupBy(F.col("meta.media_type")).count()
+    plan = executed_plan(agg)
+    # the only Exchange is the groupBy on extracted (small) columns —
+    # 'data' must not appear in any shuffle
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "data" not in line, line
+
+
+def test_minhash_signature_type_is_int(spark):
+    """Signatures ship as array<int> (31-bit values) — the verify-join
+    shuffle carries half the bytes of array<long>."""
+    from collector_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    sigs = minhash_signatures(df, num_hashes=8)
+    assert sigs.schema["signature"].dataType.simpleString() == "array<int>"
+
+
 def test_events_ts_filter_pushdown(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     df = ev.filter(F.col("event_type") == "click").select("event_id")
