@@ -212,6 +212,49 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert rows[("2024-01-01T12:00:00", "click")] == 1
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a redelivered key inside the
+    horizon is suppressed (at-least-once source → exactly-once-observable
+    output) with state bounded by the watermark, not unbounded history."""
+    from collector_spark.streaming import dedup_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write(name, rows):
+        (in_dir / name).write_text(
+            "\n".join(json.dumps({"ts": ts, "k": k}) for ts, k in rows)
+        )
+
+    write("b1.json", [
+        ("2024-01-01 10:00:00", "a"),
+        ("2024-01-01 10:00:30", "a"),   # duplicate within horizon → dropped
+        ("2024-01-01 10:01:00", "b"),
+    ])
+    stream = spark.readStream.schema("ts timestamp, k string").json(str(in_dir))
+    out = dedup_stream(stream, ["k"], ts_col="ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # redelivery of 'a' in a later microbatch, still within horizon
+        write("b2.json", [
+            ("2024-01-01 10:02:00", "a"),
+            ("2024-01-01 10:03:00", "c"),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    keys = sorted(r.k for r in spark.sql("select * from sdedup").collect())
+    assert keys == ["a", "b", "c"], keys
+
+
 def test_session_window_matches_manual_sessionizer(spark, sf_dir):
     """The built-in session_window aggregate must produce the same
     (user, session_start, n_events) sessions as the manual lag/cumsum
