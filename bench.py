@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     "dedup_connected_components",
+    "embedding_near_dup",
     "multimodal_features",
 ]
 

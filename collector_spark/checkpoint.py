@@ -45,6 +45,10 @@ class BatchRecord:
     # pkg/core/channel.go:3-8, generalized below file granularity)
     partition_counts: dict = field(default_factory=dict)
     committed_at: float = 0.0
+    # True only on records returned by run_batch's on_error='drop' path —
+    # never committed to the manifest, lets run_tick distinguish a
+    # swallowed failure from a success when no manifest is configured
+    failed: bool = False
 
 
 @dataclass

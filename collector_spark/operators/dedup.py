@@ -118,8 +118,8 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, signature array<long>) — deterministic, matches
-    collector_spark.oracle.minhash_signature exactly."""
+    """(id, signature array<int> — 31-bit values) — deterministic,
+    matches collector_spark.oracle.minhash_signature exactly."""
     udf = _make_minhash_udf(num_hashes, shingle_n, seed)
     return df.select(F.col(id_col), udf(F.col(text_col)).alias("signature"))
 
@@ -390,11 +390,19 @@ def near_dedup_groups(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    unpersist_into: list | None = None,
 ) -> DataFrame:
     """(corpus, near-dup pairs) → (doc_id, representative): every doc maps
     to its component's min id (docs in no pair represent themselves).
-    Downstream dedup = keep rows where doc_id == representative."""
+    Downstream dedup = keep rows where doc_id == representative.
+
+    Caching contract: connected_components returns a persisted labels
+    table the result depends on — same as minhash_lsh_pairs, pass
+    ``unpersist_into=[]`` to receive it and ``.unpersist()`` after
+    materializing (otherwise it lives until the session ends)."""
     comp = connected_components(pairs, id_a, id_b)
+    if unpersist_into is not None:
+        unpersist_into.append(comp)
     return df.select(F.col(id_col)).join(
         comp, df[id_col] == comp.id, "left"
     ).select(
@@ -438,13 +446,15 @@ def _simhash_udf():
                 dtype=np.uint64,
                 count=len(uniq),
             )
-            bits_u = ((vs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            # int8 keeps the (n_unique, 64) table at 64 B/token (an int64
+            # table hit hundreds of MB/worker on long-doc chunks)
+            bits_u = ((vs[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
         out = []
         for idx in idx_lists:
             if len(idx) == 0:
                 out.append(0)
                 continue
-            votes = 2 * bits_u[idx].sum(axis=0) - len(idx)
+            votes = 2 * bits_u[idx].sum(axis=0, dtype=np.int64) - len(idx)
             h = int((weights * (votes > 0)).sum(dtype=np.uint64))
             out.append(h - (1 << 64) if h >= (1 << 63) else h)  # signed i64
         return out

@@ -252,8 +252,14 @@ def kmeans_centroids(
     This addresses the random-centroid recall/parallelism bound: refined
     centroids track the data distribution, balancing inverted-list sizes
     (parallelism) and tightening the probe neighborhoods (recall)."""
+    from pyspark import StorageLevel
+
     planes = _centroids(dim, n_centroids, seed)
-    vecs = corpus.select(F.col(vec_col).alias("_v"))
+    # the corpus plan (possibly pandas-UDF-derived) is scanned once per
+    # Lloyd iteration — materialize it for the loop's duration
+    vecs = corpus.select(F.col(vec_col).alias("_v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     for _ in range(n_iter):
         assign = _make_assign_udf_from(planes, 1)
         assigned = vecs.select(
@@ -270,6 +276,7 @@ def kmeans_centroids(
         norms = np.linalg.norm(new_planes, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         planes = new_planes / norms
+    vecs.unpersist()
     return planes
 
 

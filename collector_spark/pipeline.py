@@ -215,7 +215,9 @@ class Pipeline:
             if self.manifest is not None:
                 self.manifest.record_error(batch_id, f"{type(e).__name__}: {e}")
             if on_error == "drop":
-                return BatchRecord(batch_id=batch_id, source_state=source_state or {})
+                return BatchRecord(
+                    batch_id=batch_id, source_state=source_state or {}, failed=True
+                )
             raise
 
     def _run_batch_inner(
@@ -335,7 +337,9 @@ class Pipeline:
                 ack(False)  # leave messages unacked → queue redelivers
             raise
         if ack is not None:
-            committed = self.manifest is None or self.manifest.committed(batch_id)
+            committed = not record.failed and (
+                self.manifest is None or self.manifest.committed(batch_id)
+            )
             ack(committed)
         return record
 

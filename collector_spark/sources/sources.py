@@ -42,10 +42,17 @@ class FileSource:
     in bounded chunks to a local spill file (the reference's own
     TmpWriter architecture, pkg/core/tmp_writer.go) and read back with
     ``spark.read.text`` — distributed scan, driver RAM bounded at the
-    copy-buffer size regardless of backlog. Spill files from the previous
-    tick are deleted at the START of the next read (by then the batch has
-    committed); at cluster scale the idiomatic replacement is
-    ``stream()``'s readStream.text tracking.
+    copy-buffer size regardless of backlog.
+
+    Cleanup/deletion ordering (at-least-once): consumed-source deletion
+    (``delete=True``) and spill-file cleanup happen in ``commit_read``,
+    which Pipeline.run_tick invokes AFTER the batch commits — a failed
+    batch keeps the source file so the un-advanced offset re-reads it
+    next tick. Callers driving ``read_new`` directly get the same
+    behavior by calling ``commit_read(success)`` themselves (a fallback
+    sweep at the start of the next read also clears stale spills). At
+    cluster scale the idiomatic replacement is ``stream()``'s
+    readStream.text tracking.
     """
 
     _COPY_BUF = 8 * 1024 * 1024
@@ -62,8 +69,14 @@ class FileSource:
         self.path = path
         self.delete = delete
         self.max_driver_bytes = max_driver_bytes
-        self.spill_dir = spill_dir or tempfile.mkdtemp(prefix="collector_spark_spill_")
+        if spill_dir:
+            os.makedirs(spill_dir, exist_ok=True)
+            self.spill_dir = spill_dir
+        else:
+            self.spill_dir = tempfile.mkdtemp(prefix="collector_spark_spill_")
         self._spill_seq = 0
+        self._pending_spills: list[str] = []
+        self._pending_deletes: list[str] = []
 
     def _spill_tail(self, fpath: str, offset: int, size: int) -> str:
         """Copy bytes [offset, size) to a spill file in bounded chunks."""
@@ -85,11 +98,32 @@ class FileSource:
             if fname.startswith("tail_"):
                 os.remove(os.path.join(self.spill_dir, fname))
 
+    def commit_read(self, success: bool) -> None:
+        """Called by Pipeline.run_tick after the batch commits (success)
+        or fails. On success, consumed source files are deleted
+        (delete=True semantics — deferred here so a failed batch keeps
+        the data for the re-read) and this read's spill files removed.
+        On failure only the spills go: the un-advanced offset re-reads
+        the original file next tick."""
+        spills, self._pending_spills = self._pending_spills, []
+        deletes, self._pending_deletes = self._pending_deletes, []
+        for spath in spills:
+            if os.path.exists(spath):
+                os.remove(spath)
+        if success:
+            for fpath in deletes:
+                if os.path.exists(fpath):
+                    os.remove(fpath)
+
     def read_new(
         self, spark: SparkSession, state: dict | None
     ) -> tuple[DataFrame, dict]:
         state = dict(state or {})
-        self._clean_spill()  # previous tick's batch has committed by now
+        # sweep stale spills (commit_read normally already did); safe
+        # because a failed batch re-reads from the SOURCE file — its
+        # deletion is what's deferred to commit
+        self._pending_spills = []
+        self._clean_spill()
         lines: list[str] = []
         spilled: list[str] = []
         for fpath in sorted(_glob.glob(self.path)):
@@ -111,8 +145,11 @@ class FileSource:
                         if ln:
                             lines.append(ln)
             if self.delete and size == state.get(fpath, 0):
-                os.remove(fpath)
+                # deletion deferred to commit_read(True): a failed batch
+                # must keep the file for the re-read (at-least-once)
+                self._pending_deletes.append(fpath)
                 state.pop(fpath, None)
+        self._pending_spills.extend(spilled)
         df = spark.createDataFrame([(l,) for l in lines] or [], "value: string")
         if spilled:
             big = (

@@ -42,6 +42,12 @@ class FrameDecoder:
     LF-terminated. ``automatic``/``RFC6587`` detect per frame by leading
     digit (the go-syslog RFC6587 split behavior)."""
 
+    #: max octet-counted frame (reference MaxLogSize, pkg/core/core.go:8).
+    #: A digit-leading line claiming more (e.g. one starting with an epoch
+    #: timestamp) is NOT treated as octet-counted — without this cap such
+    #: a line would stall the connection and buffer unboundedly.
+    MAX_FRAME = 5 * 1024 * 1024
+
     def __init__(self, fmt: str = "raw"):
         if fmt not in FORMATS:
             raise ValueError(f"format must be one of {FORMATS}, got {fmt!r}")
@@ -64,7 +70,7 @@ class FrameDecoder:
                     n = int(self._buf[:sep])
                 except ValueError:
                     n = -1
-                if n >= 0:
+                if 0 <= n <= self.MAX_FRAME:
                     start = sep + 1
                     if len(self._buf) < start + n:
                         break  # incomplete frame

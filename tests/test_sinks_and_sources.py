@@ -279,9 +279,8 @@ def test_file_source_spills_large_tails_off_driver(spark, tmp_path):
     src = FileSource(
         str(tmp_path / "*.log"),
         max_driver_bytes=16,  # force the spill path
-        spill_dir=str(tmp_path / "spill"),
+        spill_dir=str(tmp_path / "spill"),  # created by the constructor
     )
-    os.makedirs(tmp_path / "spill", exist_ok=True)
     df, state = src.read_new(spark, None)
     got = sorted(r.value for r in df.collect())
     assert got == sorted(f"row-{i}" for i in range(100))  # blank line dropped
@@ -298,6 +297,52 @@ def test_file_source_spills_large_tails_off_driver(spark, tmp_path):
         f.write("row-100\n")
     df3, state3 = src.read_new(spark, state2)
     assert [r.value for r in df3.collect()] == ["row-100"]
+
+
+def test_file_source_delete_deferred_to_commit(spark, tmp_path):
+    """delete=True removes a consumed file only after commit_read(True);
+    a failed batch keeps it so the un-advanced offset re-reads (the
+    at-least-once contract — a spilled tail must never be the only copy)."""
+    log = tmp_path / "a.log"
+    log.write_text("x\ny\n")
+    src = FileSource(str(tmp_path / "*.log"), delete=True)
+    df, state = src.read_new(spark, None)
+    assert df.count() == 2
+    assert log.exists()  # not yet deleted
+    src.commit_read(False)  # batch failed → file must survive
+    assert log.exists()
+    df2, state2 = src.read_new(spark, None)  # re-read from scratch
+    assert df2.count() == 2
+    src.commit_read(True)  # committed → now it goes
+    assert not log.exists()
+
+
+def test_run_tick_does_not_ack_failed_dropped_batch_without_manifest(spark, tmp_path):
+    """With no manifest, a swallowed sink failure (on_error='drop') must
+    still be treated as uncommitted — receipts are NOT acked."""
+    from collector_spark.pipeline import Pipeline, PipelineConfig, SinkSpec
+    from collector_spark.sources.sources import QueuePollerSource
+
+    queue = [[("r1", "a")]]
+    acked: list = []
+    src = QueuePollerSource(
+        (lambda n: queue.pop(0) if queue else []), acker=acked.extend, max_messages=10
+    )
+
+    class BoomSink:
+        def write(self, df, batch_id=None):
+            raise RuntimeError("boom")
+
+    config = PipelineConfig(
+        instance_id="q2",
+        sinks=[SinkSpec("out", "file", None, {"path": str(tmp_path / "out")})],
+    )
+    pipe = Pipeline(config, state_dir=None)  # manifest-less
+    pipe.source = src
+    pipe.sinks["out"] = BoomSink()
+    rec = pipe.run_tick(spark, on_error="drop")
+    assert rec.failed
+    assert acked == []
 
 
 def test_queue_poller_acks_only_after_commit(spark, tmp_path):

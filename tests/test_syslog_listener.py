@@ -41,6 +41,17 @@ def test_framing_automatic_mixed():
     assert dec.feed(b"5 hello<34>lf line\n") == ["hello", "<34>lf line"]
 
 
+def test_framing_huge_length_prefix_falls_back_to_lf():
+    """A digit-leading line that is NOT octet-counted (e.g. starts with
+    an epoch timestamp) must not stall the connection waiting for GBs —
+    lengths over MAX_FRAME fall back to LF framing."""
+    dec = FrameDecoder("automatic")
+    assert dec.feed(b"1629381122 host application started\n") == [
+        "1629381122 host application started"
+    ]
+    assert dec.feed(b"next\n") == ["next"]  # stream continues normally
+
+
 def test_framing_flush_emits_unterminated_tail():
     dec = FrameDecoder("raw")
     assert dec.feed(b"partial") == []
