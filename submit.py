@@ -47,6 +47,15 @@ def main() -> None:
     ap.add_argument("--input-kind", default="pages", choices=["pages", "lines"])
     ap.add_argument("--batch-id", type=int, default=0)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--ticks", type=int, default=1,
+        help="daemon ticks per source-configured instance (0 = run until "
+             "interrupted — the reference's `collector start` loop)",
+    )
+    ap.add_argument(
+        "--interval", type=float, default=0.0,
+        help="seconds to sleep between ticks (reference schedule/flush_frequency)",
+    )
     args = ap.parse_args()
 
     if args.package:
@@ -69,16 +78,25 @@ def main() -> None:
         df = spark.read.parquet(args.input)
         if args.input_kind == "pages":
             df = HtmlExtractor().log_lines(df).select("value")
-    for iid, pipe in instances.items():
-        if pipe.source is not None:
-            # instance carries its own input block → full daemon tick
-            record = pipe.run_tick(spark)
-        elif df is not None:
-            record = pipe.run_batch(df, batch_id=args.batch_id)
-        else:
-            ap.error(f"instance {iid} has no input block; pass --input")
-        print(f"{iid}: batch={record.batch_id} sinks={record.per_sink_counts} "
-              f"stages={record.per_stage_counts}")
+    import itertools
+    import time
+
+    ticks = itertools.count() if args.ticks == 0 else range(max(args.ticks, 1))
+    for tick in ticks:
+        for iid, pipe in instances.items():
+            if pipe.source is not None:
+                # instance carries its own input block → full daemon tick
+                record = pipe.run_tick(spark)
+            elif df is not None:
+                if tick > 0:
+                    continue  # caller-supplied batch runs once
+                record = pipe.run_batch(df, batch_id=args.batch_id)
+            else:
+                ap.error(f"instance {iid} has no input block; pass --input")
+            print(f"{iid}: batch={record.batch_id} sinks={record.per_sink_counts} "
+                  f"stages={record.per_stage_counts}")
+        if args.interval and (args.ticks == 0 or tick < args.ticks - 1):
+            time.sleep(args.interval)
 
 
 if __name__ == "__main__":
