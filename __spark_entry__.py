@@ -679,6 +679,31 @@ def _sql_lang_id() -> str:
     return f"SELECT doc_id, {lang_id_sql('text')} AS pred_lang FROM documents"
 
 
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc-length distribution (corpus profiling): exact
+    interpolated percentiles, which match DuckDB's quantile_cont
+    bit-for-bit. At 100 TB swap F.percentile for
+    F.percentile_approx(..., accuracy) — same plan shape, bounded-memory
+    sketch instead of per-group sorted lists."""
+    docs = _documents(spark, sf_dir)
+    ln = F.length("text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile(ln, F.lit(0.5)), 2).alias("p50_chars"),
+        F.round(F.percentile(ln, F.lit(0.95)), 2).alias("p95_chars"),
+        F.max(ln).cast("int").alias("max_chars"),
+    )
+
+
+_SQL_DOC_QUANTILES = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(len(text), 0.5), 2) AS p50_chars,
+       ROUND(quantile_cont(len(text), 0.95), 2) AS p95_chars,
+       CAST(MAX(len(text)) AS INT) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collector_spark.operators.textstats import quality_score_col, token_count_col
 
@@ -1250,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "doc_length_quantiles": q_doc_length_quantiles,
         "token_count_agg": q_token_count_agg,
         "fingerprint_md5": q_fingerprint_md5,
         "fingerprint_rolling": q_dedup_fingerprint_rolling,
@@ -1300,6 +1326,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
         "lang_id": _sql_lang_id(),
         "quality_score": _sql_quality(),
+        "doc_length_quantiles": _SQL_DOC_QUANTILES,
         "token_count_agg": _sql_token_count_agg(),
         "fingerprint_md5": _SQL_FP,
         "asof_join": _SQL_ASOF,

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "ann_ivf_kmeans_topk",
     "dedup_connected_components",
     "embedding_near_dup",
+    "doc_length_quantiles",
     "multimodal_features",
 ]
 
