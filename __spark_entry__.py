@@ -679,6 +679,35 @@ def _sql_lang_id() -> str:
     return f"SELECT doc_id, {lang_id_sql('text')} AS pred_lang FROM documents"
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format rollup: one row per user-id bucket, one column per
+    event type (§2.7 relational surface). The pivot values are pinned
+    explicitly — at scale an implicit pivot triggers a distinct-values
+    job AND an unbounded column explosion; pinning keeps it one pass."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("bucket", (F.col("user_id") % 10).cast("int"))
+        .groupBy("bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+_SQL_PIVOT = """
+SELECT CAST(user_id % 10 AS INT) AS bucket,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY 1
+"""
+
+
 def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language doc-length distribution (corpus profiling): exact
     interpolated percentiles, which match DuckDB's quantile_cont
@@ -1276,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "pivot_event_counts": q_pivot_event_counts,
         "token_count_agg": q_token_count_agg,
         "fingerprint_md5": q_fingerprint_md5,
         "fingerprint_rolling": q_dedup_fingerprint_rolling,
@@ -1327,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "quality_score": _sql_quality(),
         "doc_length_quantiles": _SQL_DOC_QUANTILES,
+        "pivot_event_counts": _SQL_PIVOT,
         "token_count_agg": _sql_token_count_agg(),
         "fingerprint_md5": _SQL_FP,
         "asof_join": _SQL_ASOF,
