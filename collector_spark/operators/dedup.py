@@ -322,7 +322,11 @@ def connected_components(
     aggregation, all keyed on ids — hash-partitioned, map-side combined,
     no skew beyond the graph's own degree distribution (a celebrity node
     is a genuine hot key; pre-salt with salted_join if needed). Labels
-    are persisted per round and the previous round unpersisted."""
+    are persisted per round and the previous round unpersisted.
+    Convergence is detected by a MONOTONE checksum — min-labels only ever
+    decrease, so sum(component) is unchanged iff no label moved — which
+    costs one tiny aggregate instead of a full old-vs-new join per round.
+    """
     from pyspark import StorageLevel
 
     sym = edges.select(
@@ -331,11 +335,21 @@ def connected_components(
     # the edge list is joined every round — compute its (possibly
     # expensive, e.g. LSH-derived) plan once
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = sym.select(F.col("src").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("component")).persist(
-        StorageLevel.MEMORY_AND_DISK
+
+    def _checksum(lbls: DataFrame):
+        return lbls.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    # init = the first propagation round for free: label(id) =
+    # min(id, min neighbor id) in ONE aggregation over the edge list
+    labels = (
+        sym.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("component"))
+        .select(F.col("src").alias("id"), "component")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels.count()  # materialize before the loop
+    prev_sum = _checksum(labels)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -366,21 +380,17 @@ def connected_components(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        new_sum = _checksum(new_labels)
         labels.unpersist()
         stepped.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     # NOTE: the returned labels DataFrame is already materialized and
-    # persisted (the convergence check counted it) — callers that keep it
-    # long-term should .unpersist() when done
+    # persisted (the convergence check aggregated it) — callers that keep
+    # it long-term should .unpersist() when done
     return labels
 
 
