@@ -127,16 +127,23 @@ def main() -> None:
 
     # best-of-2 per query: this host exhibits multi-x wall-clock noise
     # spikes; min is the honest steady-state.
+    # Materialize via the noop writer, NOT .count(): count() lets
+    # Catalyst prune every unreferenced output expression (an
+    # aggregate-only query would time as a bare distinct), while noop
+    # computes every output column with zero sink cost.
     for name in BENCH_QUERIES:
         fn = queries[name]
         reps = 2
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
+        # operators that persist internals (minhash/ngram/conn-components)
+        # must not let those caches skew later queries
+        spark.catalog.clearCache()
 
     # pages pipeline: best of 2 (this host shows multi-x wall-clock noise
     # spikes; the min is the honest steady-state figure)

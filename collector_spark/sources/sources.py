@@ -76,7 +76,7 @@ class FileSource:
             self.spill_dir = tempfile.mkdtemp(prefix="collector_spark_spill_")
         self._spill_seq = 0
         self._pending_spills: list[str] = []
-        self._pending_deletes: list[str] = []
+        self._pending_deletes: list[tuple[str, int]] = []
 
     def _spill_tail(self, fpath: str, offset: int, size: int) -> str:
         """Copy bytes [offset, size) to a spill file in bounded chunks."""
@@ -104,25 +104,31 @@ class FileSource:
         (delete=True semantics — deferred here so a failed batch keeps
         the data for the re-read) and this read's spill files removed.
         On failure only the spills go: the un-advanced offset re-reads
-        the original file next tick."""
+        the original file next tick.
+
+        A file that GREW during the batch is NOT deleted — the committed
+        offset (state keeps its entry) picks the appended tail up next
+        tick; deletion happens once a tick ends with the file fully
+        consumed and unchanged."""
         spills, self._pending_spills = self._pending_spills, []
         deletes, self._pending_deletes = self._pending_deletes, []
         for spath in spills:
             if os.path.exists(spath):
                 os.remove(spath)
         if success:
-            for fpath in deletes:
-                if os.path.exists(fpath):
+            for fpath, consumed in deletes:
+                if os.path.exists(fpath) and os.path.getsize(fpath) == consumed:
                     os.remove(fpath)
 
     def read_new(
         self, spark: SparkSession, state: dict | None
     ) -> tuple[DataFrame, dict]:
         state = dict(state or {})
-        # sweep stale spills (commit_read normally already did); safe
-        # because a failed batch re-reads from the SOURCE file — its
+        # sweep stale spills/deletes (commit_read normally already did);
+        # safe because a failed batch re-reads from the SOURCE file — its
         # deletion is what's deferred to commit
         self._pending_spills = []
+        self._pending_deletes = []
         self._clean_spill()
         lines: list[str] = []
         spilled: list[str] = []
@@ -146,9 +152,11 @@ class FileSource:
                             lines.append(ln)
             if self.delete and size == state.get(fpath, 0):
                 # deletion deferred to commit_read(True): a failed batch
-                # must keep the file for the re-read (at-least-once)
-                self._pending_deletes.append(fpath)
-                state.pop(fpath, None)
+                # must keep the file for the re-read (at-least-once).
+                # The state entry is KEPT so bytes appended during the
+                # batch resume from the committed offset if the file
+                # grew (commit_read skips deleting a grown file).
+                self._pending_deletes.append((fpath, size))
         self._pending_spills.extend(spilled)
         df = spark.createDataFrame([(l,) for l in lines] or [], "value: string")
         if spilled:

@@ -42,16 +42,20 @@ class FrameDecoder:
     LF-terminated. ``automatic``/``RFC6587`` detect per frame by leading
     digit (the go-syslog RFC6587 split behavior)."""
 
-    #: max octet-counted frame (reference MaxLogSize, pkg/core/core.go:8).
-    #: A digit-leading line claiming more (e.g. one starting with an epoch
-    #: timestamp) is NOT treated as octet-counted — without this cap such
-    #: a line would stall the connection and buffer unboundedly.
+    #: in 'automatic' mode a digit-leading line claiming more than this
+    #: (e.g. one starting with an epoch timestamp) is treated as a plain
+    #: LF line, not an octet count (reference MaxLogSize scale,
+    #: pkg/core/core.go:8)
     MAX_FRAME = 5 * 1024 * 1024
+    #: absolute framing bound, any mode: beyond this the stream is
+    #: considered desynchronized/abusive and the buffer is force-flushed
+    HARD_MAX = 64 * 1024 * 1024
 
     def __init__(self, fmt: str = "raw"):
         if fmt not in FORMATS:
             raise ValueError(f"format must be one of {FORMATS}, got {fmt!r}")
         self.octet_counting = fmt in ("RFC6587", "automatic")
+        self.strict_octet = fmt == "RFC6587"
         self._buf = b""
 
     def feed(self, data: bytes) -> list[str]:
@@ -61,16 +65,27 @@ class FrameDecoder:
             if self.octet_counting and self._buf[:1].isdigit():
                 sep = self._buf.find(b" ")
                 if sep < 0:
-                    if len(self._buf) > 10:  # not a sane length prefix
-                        msg, _, self._buf = self._buf.partition(b"\n")
-                        out.append(msg.decode("utf-8", "replace"))
+                    # no space yet: could be a split length prefix OR a
+                    # split plain line — NEVER emit a partial buffer
+                    # (the rest would be misparsed as a new length)
+                    nl = self._buf.find(b"\n")
+                    if nl >= 0:
+                        line, self._buf = self._buf[:nl], self._buf[nl + 1 :]
+                        out.append(line.decode("utf-8", "replace").rstrip("\r"))
                         continue
+                    if len(self._buf) > self.HARD_MAX:  # bound memory
+                        msg, self._buf = self._buf, b""
+                        out.append(msg.decode("utf-8", "replace"))
                     break  # wait for more bytes
                 try:
                     n = int(self._buf[:sep])
                 except ValueError:
                     n = -1
-                if 0 <= n <= self.MAX_FRAME:
+                # strict RFC6587 accepts any frame up to the hard bound;
+                # 'automatic' treats an implausible length (epoch-
+                # timestamp-leading plain lines) as LF-framed instead
+                limit = self.HARD_MAX if self.strict_octet else self.MAX_FRAME
+                if 0 <= n <= limit:
                     start = sep + 1
                     if len(self._buf) < start + n:
                         break  # incomplete frame
@@ -78,9 +93,22 @@ class FrameDecoder:
                     self._buf = self._buf[start + n :]
                     out.append(msg.decode("utf-8", "replace").rstrip("\n"))
                     continue
+                if self.strict_octet:
+                    # protocol violation in strict mode: resync at the
+                    # next LF, discarding the corrupt frame head
+                    nl = self._buf.find(b"\n")
+                    if nl < 0:
+                        if len(self._buf) > self.HARD_MAX:
+                            self._buf = b""
+                        break
+                    self._buf = self._buf[nl + 1 :]
+                    continue
             # non-transparent framing: LF-terminated
             line, nl, rest = self._buf.partition(b"\n")
             if not nl:
+                if len(self._buf) > self.HARD_MAX:  # bound memory
+                    msg, self._buf = self._buf, b""
+                    out.append(msg.decode("utf-8", "replace"))
                 break
             self._buf = rest
             out.append(line.decode("utf-8", "replace").rstrip("\r"))

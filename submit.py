@@ -56,6 +56,12 @@ def main() -> None:
         "--interval", type=float, default=0.0,
         help="seconds to sleep between ticks (reference schedule/flush_frequency)",
     )
+    ap.add_argument(
+        "--on-error", default="drop", choices=["drop", "raise"],
+        help="daemon error policy: 'drop' logs the failed batch and "
+             "continues (the reference's manager.go:166-169 behavior); "
+             "'raise' aborts the loop",
+    )
     args = ap.parse_args()
 
     if args.package:
@@ -81,19 +87,31 @@ def main() -> None:
     import itertools
     import time
 
+    if args.ticks == 0 and not any(p.source is not None for p in instances.values()):
+        ap.error(
+            "--ticks 0 needs at least one instance with an 'input' block "
+            "(df-driven instances run their batch once)"
+        )
     ticks = itertools.count() if args.ticks == 0 else range(max(args.ticks, 1))
     for tick in ticks:
         for iid, pipe in instances.items():
             if pipe.source is not None:
-                # instance carries its own input block → full daemon tick
-                record = pipe.run_tick(spark)
+                # instance carries its own input block → full daemon tick;
+                # a failed batch is dropped + recorded and the daemon
+                # continues (reference manager.go:166-169) unless
+                # --on-error raise
+                record = pipe.run_tick(spark, on_error=args.on_error)
             elif df is not None:
                 if tick > 0:
                     continue  # caller-supplied batch runs once
-                record = pipe.run_batch(df, batch_id=args.batch_id)
+                record = pipe.run_batch(
+                    df, batch_id=args.batch_id, on_error=args.on_error
+                )
             else:
                 ap.error(f"instance {iid} has no input block; pass --input")
-            print(f"{iid}: batch={record.batch_id} sinks={record.per_sink_counts} "
+            status = " FAILED" if record.failed else ""
+            print(f"{iid}: batch={record.batch_id}{status} "
+                  f"sinks={record.per_sink_counts} "
                   f"stages={record.per_stage_counts}")
         if args.interval and (args.ticks == 0 or tick < args.ticks - 1):
             time.sleep(args.interval)

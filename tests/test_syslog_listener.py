@@ -52,6 +52,30 @@ def test_framing_huge_length_prefix_falls_back_to_lf():
     assert dec.feed(b"next\n") == ["next"]  # stream continues normally
 
 
+def test_framing_segmented_digit_line_never_emits_partial():
+    """A digit-leading plain line split mid-digits by TCP must NOT be
+    emitted partially (the rest would be misparsed as a length prefix) —
+    the decoder waits for the LF, then LF-frames the whole line."""
+    dec = FrameDecoder("automatic")
+    assert dec.feed(b"123456789012345") == []
+    assert dec.feed(b"67890 msg\n") == ["12345678901234567890 msg"]
+    assert dec.feed(b"next\n") == ["next"]
+
+
+def test_framing_strict_mode_accepts_large_frames_and_resyncs():
+    dec = FrameDecoder("RFC6587")
+    # a frame above the automatic-mode plausibility cap is still a legal
+    # octet-counted frame in strict mode (payload may contain LFs)
+    big = b"x" * (6 * 1024 * 1024 - 10) + b"\nwith lf\n"
+    frame = str(len(big)).encode() + b" " + big
+    got = dec.feed(frame)
+    assert got == [big.decode().rstrip("\n")]
+    # a length beyond HARD_MAX is a protocol violation: resync at next LF
+    assert dec.feed(b"99999999999999 garbage\n16 <34>after resync") == [
+        "<34>after resync"
+    ]
+
+
 def test_framing_flush_emits_unterminated_tail():
     dec = FrameDecoder("raw")
     assert dec.feed(b"partial") == []

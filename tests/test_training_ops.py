@@ -87,12 +87,25 @@ def test_connected_components_chains_and_cliques(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
     corpus = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], ["doc_id"])
+    handles = []
     reps = {
         r.doc_id: r.representative
-        for r in dedup.near_dedup_groups(corpus, edges).collect()
+        for r in dedup.near_dedup_groups(
+            corpus, edges, unpersist_into=handles
+        ).collect()
     }
     assert reps[99] == 99  # no pair → self-representative
     assert reps[4] == 1 and reps[21] == 20
+    assert len(handles) == 1
+    handles[0].unpersist()
+
+    # empty pair set → everyone self-represents
+    no_edges = spark.createDataFrame([], "id_a long, id_b long")
+    reps0 = {
+        r.doc_id: r.representative
+        for r in dedup.near_dedup_groups(corpus, no_edges).collect()
+    }
+    assert all(k == v for k, v in reps0.items())
 
 
 def _emb(spark, n=40, dim=8):
