@@ -951,6 +951,51 @@ FROM events GROUP BY ROLLUP (event_type)
 """
 
 
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimension cube (event_type × user bucket) — all four grouping
+    combinations in one pass, map-side combined per grouping set."""
+    ev = _events(spark, sf_dir).withColumn(
+        "bucket", (F.col("user_id") % 4).cast("int")
+    )
+    return ev.cube("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_SQL_CUBE = """
+SELECT event_type, CAST(user_id % 4 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY CUBE (event_type, (CAST(user_id % 4 AS INT)))
+"""
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running revenue over event time — the ROWS UNBOUNDED
+    PRECEDING window frame (§2.7 ranking/frames surface). One shuffle on
+    user_id, per-partition ordered sweep, no self-join."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 97 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+_SQL_RUNNING = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+FROM events WHERE user_id % 97 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # 24. Set ops + distinct (SURVEY.md §2.7: set operations)
 # ---------------------------------------------------------------------------
@@ -1313,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "rollup_counts": q_rollup_counts,
+        "cube_counts": q_cube_counts,
+        "running_total": q_running_total,
         "set_ops": q_set_ops,
         "join_shuffle_agg": q_join_shuffle_agg,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1364,6 +1411,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SQL_SESSIONIZE,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "rollup_counts": _SQL_ROLLUP,
+        "cube_counts": _SQL_CUBE,
+        "running_total": _SQL_RUNNING,
         "set_ops": _SQL_SET_OPS,
         "join_shuffle_agg": _SQL_JOIN_SHUFFLE,
         # ann_lsh_topk: md5-seeded hyperplane family — not SQL-expressible;
