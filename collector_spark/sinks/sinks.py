@@ -137,8 +137,14 @@ class ConsoleSink:
         self.num_rows = num_rows
 
     def write(self, df: DataFrame, batch_id: int | None = None) -> int:
-        df.show(self.num_rows, truncate=False)
-        return df.count()
+        # two actions (show + count) are inherent to a debug sink; persist
+        # so the second reads the cache instead of recomputing upstream
+        df = df.persist()
+        try:
+            df.show(self.num_rows, truncate=False)
+            return df.count()
+        finally:
+            df.unpersist()
 
 
 class KafkaSink:
