@@ -82,6 +82,38 @@ def test_framing_flush_emits_unterminated_tail():
     assert dec.flush() == ["partial"]
 
 
+def test_framing_property_roundtrip_under_random_segmentation():
+    """Property: any message sequence, octet-counted-encoded and split at
+    arbitrary TCP segment boundaries, decodes to exactly the original
+    messages in order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    msg = st.text(
+        alphabet=st.characters(blacklist_characters="\r", blacklist_categories=("Cs",)),
+        min_size=1,
+        max_size=60,
+    ).map(lambda s: s.strip()).filter(lambda s: s and not s.isdigit())
+
+    @settings(max_examples=60, deadline=None)
+    @given(msgs=st.lists(msg, min_size=1, max_size=8), data=st.data())
+    def run(msgs, data):
+        wire = b"".join(
+            str(len(m.encode())).encode() + b" " + m.encode() for m in msgs
+        )
+        dec = FrameDecoder("RFC6587")
+        out = []
+        i = 0
+        while i < len(wire):
+            cut = data.draw(st.integers(min_value=1, max_value=len(wire) - i))
+            out.extend(dec.feed(wire[i : i + cut]))
+            i += cut
+        out.extend(dec.flush())
+        assert out == [m for m in msgs if m]
+
+    run()
+
+
 def test_extract_message_formats():
     m3164 = "<34>Oct 11 22:14:15 host su: 'su root' failed"
     m5424 = "<165>1 2003-10-11T22:14:15.003Z host evntslog - ID47 - an event"

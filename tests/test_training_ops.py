@@ -108,6 +108,46 @@ def test_connected_components_chains_and_cliques(spark):
     assert all(k == v for k, v in reps0.items())
 
 
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Label propagation must agree with a classic union-find on seeded
+    random graphs (including multi-component, self-loop, and dense
+    cases)."""
+
+    def union_find_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    rng = np.random.RandomState(11)
+    edges = []
+    # three independent random graphs, id-offset into one disjoint union:
+    # a single connected_components run covers all structures (dense,
+    # sparse, self-loops, multi-component) at one fixed per-round cost
+    for trial in range(3):
+        n_nodes = int(rng.randint(8, 16))
+        n_edges = int(rng.randint(12, 30))
+        off = trial * 1000
+        edges.extend(
+            (off + int(rng.randint(n_nodes)), off + int(rng.randint(n_nodes)))
+            for _ in range(n_edges)
+        )
+    nodes = sorted({x for e in edges for x in e})
+    expected = union_find_components(edges, nodes)
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.id: r.component for r in dedup.connected_components(df).collect()}
+    assert got == expected, edges
+
+
 def _emb(spark, n=40, dim=8):
     rows = []
     rng = np.random.RandomState(7)
