@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "dedup_connected_components",
     "embedding_near_dup",
     "doc_length_quantiles",
+    "pivot_event_counts",
+    "cube_counts",
+    "running_total",
     "multimodal_features",
 ]
 
