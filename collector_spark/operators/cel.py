@@ -19,7 +19,7 @@ common string predicates and arithmetic): ``== != < <= > >= && || !``,
 ``+ - * / %`` (unary minus included; truncated remainder matching
 Spark/DuckDB), parentheses, ``has(event.a.b)``,
 ``event.list.exists(x, <expr over x>)``, ``in [..]`` literals,
-``.startsWith/.endsWith/.contains(str)``,
+``.startsWith/.endsWith/.contains/.matches(str)``,
 ``.size()``, int/float/string/bool/null literals. Anything else raises
 ``CelSyntaxError`` at build time (mirrors validateRule,
 engine.go:88-106).
@@ -309,10 +309,17 @@ class _Parser:
                 body = self.parse_or()
                 self.expect(")")
                 return Exists(base, var, body)
-            if method in ("startsWith", "endsWith", "contains"):
+            if method in ("startsWith", "endsWith", "contains", "matches"):
                 arg = self.parse_unary()
                 if not isinstance(arg, Lit) or not isinstance(arg.value, str):
                     raise CelSyntaxError(f"{method}() requires a string literal")
+                if method == "matches":
+                    import re as _re
+
+                    try:  # config-time rejection of a bad pattern
+                        _re.compile(arg.value)
+                    except _re.error as e:
+                        raise CelSyntaxError(f"matches(): bad regex: {e}") from None
                 self.expect(")")
                 return StrFn(method, base, arg)
             if method == "size":
@@ -486,6 +493,11 @@ class ColumnCompiler:
             return col.endswith(node.arg.value)
         if node.fn == "contains":
             return col.contains(node.arg.value)
+        if node.fn == "matches":
+            # CEL matches() is an unanchored RE2 search; rlike is the
+            # unanchored Java-regex equivalent (dialects agree on the
+            # portable subset — no lookbehind/named-class exotica)
+            return col.rlike(node.arg.value)
         if node.fn == "size":
             return F.length(col)
         raise CelSyntaxError(node.fn)
@@ -645,6 +657,8 @@ class SqlCompiler:
                 return f"ends_with({raw}, {self._lit(node.arg.value)})"
             if node.fn == "contains":
                 return f"contains({raw}, {self._lit(node.arg.value)})"
+            if node.fn == "matches":
+                return f"regexp_matches({raw}, {self._lit(node.arg.value)})"
             if node.fn == "size":
                 return f"length({raw})"
         if isinstance(node, Exists):
@@ -803,6 +817,10 @@ def eval_python(node, event: dict):
             return val.endswith(node.arg.value)
         if node.fn == "contains":
             return node.arg.value in val
+        if node.fn == "matches":
+            import re as _re
+
+            return _re.search(node.arg.value, val) is not None
     if isinstance(node, Exists):
         arr = _py_resolve(event, node.path)
         if not isinstance(arr, list):

@@ -26,6 +26,8 @@ RULE6 = "event.code * 2 >= 800 && event.code - 100 < 500"
 RULE7 = "event.code % 3 == 2"          # 200%3=2, 400%3=1, 500%3=2
 RULE8 = "event.code / 2 > 240"
 RULE9 = "-event.code < -250"
+# regex matches() across all three backends (unanchored search)
+RULE10 = 'event.status.matches("^inv[a-z]+ request$")'
 
 # expected per-event match for each single rule (engine_test.go:26-71)
 TRUTH = {
@@ -38,9 +40,15 @@ TRUTH = {
     RULE7: [False, True, True, False],
     RULE8: [False, False, True, False],
     RULE9: [True, False, True, True],
+    RULE10: [True, False, False, True],
 }
 
-INVALID_RULES = ['event === "hi"', 'event ||| "hi"', 'event "hi"']
+INVALID_RULES = [
+    'event === "hi"',
+    'event ||| "hi"',
+    'event "hi"',
+    'event.status.matches("[unclosed")',  # bad regex → config-time reject
+]
 
 
 @pytest.mark.parametrize("rule", list(TRUTH))
@@ -127,6 +135,9 @@ def test_extended_predicates(spark):
         ('event.tags.exists(t, t == "news")', [events[1]]),
         ("event.n in [3, 4]", [events[0]]),
         ('!(event.n == 3)', [events[1]]),
+        # CEL matches(): unanchored regex search
+        ('event.url.matches("^https://[a-z.]+/x$")', [events[0]]),
+        ('event.url.matches("b\\\\.org")', [events[1]]),
     ]
     for rule, expected in cases:
         filt = C.CelFilter(rules=[rule], action="accept", mode="json")
