@@ -210,6 +210,25 @@ def test_enrich_broadcast_plan_and_values(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_pipeline_surfaces_empty_line_counts(spark, tmp_path):
+    """Blank lines reaching a text sink are filtered AND tallied into
+    BatchRecord.per_sink_empty_counts (the reference's per-output
+    empty-line diagnostic, log_analytics.go:133-135), committed with the
+    manifest record."""
+    rows = [("alpha",), ("",), ("  ",), ("beta",), ("",)]
+    df = spark.createDataFrame(rows, "value string")
+    config = PipelineConfig(
+        instance_id="e1",
+        sinks=[SinkSpec("out", "file", None, {"path": str(tmp_path / "out")})],
+    )
+    pipe = Pipeline(config, state_dir=str(tmp_path / "state"))
+    record = pipe.run_batch(df, batch_id=0)
+    assert record.per_sink_counts == {"out": 2}
+    assert record.per_sink_empty_counts == {"out": 3}
+    committed = Manifest(str(tmp_path / "state"), "e1").load()[-1]
+    assert committed.per_sink_empty_counts == {"out": 3}
+
+
 def test_status_rollup_and_error_drop(spark, tmp_path):
     """Status roll-up (reference internal/app/manager/status.go:7-27):
     last successful run + errors-since-success; on_error='drop' mirrors
