@@ -308,18 +308,14 @@ class _Parser:
                 self.expect(",")
                 body = self.parse_or()
                 self.expect(")")
+                _validate_exists_body(body, var)
                 return Exists(base, var, body)
             if method in ("startsWith", "endsWith", "contains", "matches"):
                 arg = self.parse_unary()
                 if not isinstance(arg, Lit) or not isinstance(arg.value, str):
                     raise CelSyntaxError(f"{method}() requires a string literal")
                 if method == "matches":
-                    import re as _re
-
-                    try:  # config-time rejection of a bad pattern
-                        _re.compile(arg.value)
-                    except _re.error as e:
-                        raise CelSyntaxError(f"matches(): bad regex: {e}") from None
+                    _validate_portable_regex(arg.value)
                 self.expect(")")
                 return StrFn(method, base, arg)
             if method == "size":
@@ -327,6 +323,55 @@ class _Parser:
                 return StrFn("size", base, None)
             raise CelSyntaxError(f"unsupported method {method!r}")
         return path
+
+
+#: regex constructs that diverge across the three execution dialects
+#: (Java regex via Spark rlike, RE2 via DuckDB regexp_matches, Python re):
+#: lookaround / named groups / inline flags "(?...", unicode property
+#: classes \p{..}, backreferences, and absolute anchors \A \z \Z \G.
+_NONPORTABLE_RE = re.compile(r"\(\?(?!:)|\\[pP]|\\[0-9]|\\[AzZG]")
+
+
+def _validate_portable_regex(pattern: str) -> None:
+    """matches() patterns are restricted to the dialect-portable subset
+    (literals, [..] classes, . * + ? {m,n} | (..) (?:..) ^ $ and the
+    \d \w \s \b escapes) so a rule accepted at config time cannot
+    crash or silently diverge on one backend. Residual caveat: for data
+    with a TRAILING NEWLINE, '$' matches before it in Java/Python but
+    not in RE2 — parsed log fields are trimmed upstream, so this only
+    matters for raw multiline payloads."""
+    m = _NONPORTABLE_RE.search(pattern)
+    if m:
+        raise CelSyntaxError(
+            f"matches(): {m.group(0)!r} is not portable across the "
+            "Spark/DuckDB/Python regex dialects; use the portable subset"
+        )
+    try:
+        re.compile(pattern)
+    except re.error as e:
+        raise CelSyntaxError(f"matches(): bad regex: {e}") from None
+
+
+def _validate_exists_body(node, var: str) -> None:
+    """exists() bodies are limited to what ALL THREE backends compile
+    (comparisons of the bound var against literals, combined with
+    && / ||) — rejected at config time instead of failing late on one
+    backend and silently non-matching on another."""
+    if isinstance(node, (And, Or)):
+        _validate_exists_body(node.left, var)
+        _validate_exists_body(node.right, var)
+        return
+    if isinstance(node, Cmp):
+        for side in (node.left, node.right):
+            if isinstance(side, Lit):
+                continue
+            if isinstance(side, Path) and side.parts == (var,):
+                continue
+            raise CelSyntaxError(
+                "exists() body must compare the bound variable to a literal"
+            )
+        return
+    raise CelSyntaxError(f"unsupported exists() body: {node!r}")
 
 
 def parse_rule(rule: str):
@@ -818,9 +863,7 @@ def eval_python(node, event: dict):
         if node.fn == "contains":
             return node.arg.value in val
         if node.fn == "matches":
-            import re as _re
-
-            return _re.search(node.arg.value, val) is not None
+            return re.search(node.arg.value, val) is not None
     if isinstance(node, Exists):
         arr = _py_resolve(event, node.path)
         if not isinstance(arr, list):

@@ -48,6 +48,12 @@ INVALID_RULES = [
     'event ||| "hi"',
     'event "hi"',
     'event.status.matches("[unclosed")',  # bad regex → config-time reject
+    # non-portable across Spark(Java)/DuckDB(RE2)/Python dialects
+    'event.status.matches("(?=inv)")',
+    'event.status.matches("\\\\p{Lower}+")',
+    # exists() bodies beyond the all-backends subset fail at config time
+    'event.tags.exists(t, t.matches("^a"))',
+    'event.tags.exists(t, t.startsWith("a"))',
 ]
 
 
