@@ -160,6 +160,44 @@ def test_listener_tcp_octet_and_udp_datagrams(spark):
         src.stop()
 
 
+def test_listener_drives_full_pipeline_tick(spark, tmp_path):
+    """End-to-end: syslog UDP datagrams → listener buffer → run_tick
+    (process, fan out, commit) — the reference's syslog-input daemon
+    loop with the Spark engine behind it."""
+    import json as _json
+
+    from collector_spark.pipeline import Pipeline, PipelineConfig, SinkSpec
+
+    src = SyslogListenerSource(port=0, protocol="udp", format="RFC5424").start()
+    try:
+        u = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for i, code in enumerate([200, 400, 200]):
+            body = _json.dumps({"code": code, "i": i})
+            msg = f"<165>1 2024-01-01T00:00:0{i}Z host app - ID{i} - {body}"
+            u.sendto(msg.encode(), ("127.0.0.1", src.udp_port))
+        u.close()
+        assert _wait_for(lambda: len(src._messages) >= 3), src._messages
+
+        config = PipelineConfig(
+            instance_id="sys1",
+            processors=[{"kind": "cel", "rules": ["event.code == 200"]}],
+            sinks=[SinkSpec("ok", "file", None, {"path": str(tmp_path / "ok")})],
+        )
+        pipe = Pipeline(config, state_dir=str(tmp_path / "state"))
+        pipe.source = src
+        rec = pipe.run_tick(spark)
+        # RFC5424 MSG extraction leaves the JSON body; cel keeps code 200
+        assert rec.per_sink_counts == {"ok": 2}
+        assert rec.source_state["received"] == 3
+        got = sorted(
+            _json.loads(r.value)["i"]
+            for r in spark.read.text(str(tmp_path / "ok" / "batch_id=0")).collect()
+        )
+        assert got == [0, 2]
+    finally:
+        src.stop()
+
+
 def test_listener_registered_and_validated():
     from collector_spark.sources.sources import make_source
 
