@@ -333,7 +333,7 @@ _NONPORTABLE_RE = re.compile(r"\(\?(?!:)|\\[pP]|\\[0-9]|\\[AzZG]")
 
 
 def _validate_portable_regex(pattern: str) -> None:
-    """matches() patterns are restricted to the dialect-portable subset
+    r"""matches() patterns are restricted to the dialect-portable subset
     (literals, [..] classes, . * + ? {m,n} | (..) (?:..) ^ $ and the
     \d \w \s \b escapes) so a rule accepted at config time cannot
     crash or silently diverge on one backend. Residual caveat: for data
