@@ -233,6 +233,11 @@ class SyslogListenerSource:
     def read_new(
         self, spark: SparkSession, state: dict | None
     ) -> tuple[DataFrame, dict]:
+        if not self._servers:
+            # conf-driven instances (make_source → Pipeline.run_tick)
+            # never call start() explicitly — bring the listeners up on
+            # the first tick
+            self.start()
         msgs = self.drain()
         df = spark.createDataFrame([(m,) for m in msgs] or [], "value: string")
         new_state = dict(state or {})

@@ -203,7 +203,28 @@ def test_listener_registered_and_validated():
 
     src = make_source("syslog", port=0, protocol="udp", format="automatic")
     assert isinstance(src, SyslogListenerSource)
+    assert src.udp_port is None  # not started at bind time
     with pytest.raises(ValueError):
         make_source("syslog", protocol="sctp")
     with pytest.raises(ValueError):
         make_source("syslog", format="RFC9999")
+
+
+def test_listener_autostarts_on_first_tick(spark):
+    """A conf-driven syslog instance never calls start() — the first
+    read_new brings the listeners up."""
+    from collector_spark.sources.sources import make_source
+
+    src = make_source("syslog", port=0, protocol="udp", format="raw")
+    try:
+        df, state = src.read_new(spark, None)
+        assert df.count() == 0 and src.udp_port is not None
+        u = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        u.sendto(b"hello-from-conf", ("127.0.0.1", src.udp_port))
+        u.close()
+        assert _wait_for(lambda: len(src._messages) >= 1)
+        df2, state2 = src.read_new(spark, state)
+        assert [r.value for r in df2.collect()] == ["hello-from-conf"]
+        assert state2["received"] == 1
+    finally:
+        src.stop()
