@@ -43,7 +43,9 @@ BENCH_QUERIES = [
     "json_mutate",
     "syslog_strip",
     "kv_roundtrip",
+    "kv_roundtrip_native",
     "cef_roundtrip",
+    "cef_roundtrip_native",
     "enrich_broadcast_agg",
     "agg_pricing_summary",
     "window_top_orders",

@@ -140,12 +140,12 @@ def native_kv_map_col(col: Column) -> Column:
     ).otherwise(cleaned)
     toks = F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
     valid = F.forall(toks, lambda t: t.rlike(_TOKEN_JAVA))
+    # split ONCE per token (Catalyst does not CSE inside transform
+    # lambdas — referencing split(t) twice ran the regex twice/token)
+    pairs = F.transform(toks, lambda t: F.split(t, "=", 2))
     entries = F.transform(
-        toks,
-        lambda t: F.struct(
-            F.split(t, "=", 2)[0].alias("key"),
-            F.split(t, "=", 2)[1].alias("value"),
-        ),
+        pairs,
+        lambda p: F.struct(p[0].alias("key"), p[1].alias("value")),
     )
     # empty original line → NULL (dropped, tmp_writer.go:54-56); a line
     # that merely cleans down to no tokens parses to an EMPTY map (the
@@ -223,14 +223,14 @@ def native_cef_struct_col(col: Column) -> Column:
     ).otherwise(cleaned)
     toks = F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
     kv_ok = F.forall(toks, lambda t: t.rlike(_TOKEN_JAVA))
+    # split ONCE per token (no CSE inside transform lambdas)
+    pairs = F.transform(toks, lambda t: F.split(t, "=", 2))
     entries = F.transform(
-        toks,
-        lambda t: F.struct(
-            _restore_placeholders(_unescape_extension(F.split(t, "=", 2)[0])).alias(
-                "key"
-            ),
+        pairs,
+        lambda p: F.struct(
+            _restore_placeholders(_unescape_extension(p[0])).alias("key"),
             F.btrim(
-                _restore_placeholders(_unescape_extension(F.split(t, "=", 2)[1])),
+                _restore_placeholders(_unescape_extension(p[1])),
                 F.lit(_PY_WS),
             ).alias("value"),
         ),
