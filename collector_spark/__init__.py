@@ -21,6 +21,7 @@ This package re-expresses the same semantics Spark-first:
 __version__ = "0.1.0"
 
 from collector_spark.session import get_spark  # noqa: F401
+from collector_spark.collector import Collector  # noqa: F401
 from collector_spark.pipeline import (  # noqa: F401
     Pipeline,
     PipelineConfig,
