@@ -61,10 +61,17 @@ class PipelineConfig:
     quarantine: dict | None = None
 
     @classmethod
-    def from_json(cls, text: str) -> "PipelineConfig":
-        raw = json.loads(text)
-        sinks = [SinkSpec(**s) for s in raw.pop("sinks", [])]
+    def from_dict(cls, raw: dict) -> "PipelineConfig":
+        raw = dict(raw)
+        sinks = [
+            s if isinstance(s, SinkSpec) else SinkSpec(**s)
+            for s in raw.pop("sinks", [])
+        ]
         return cls(sinks=sinks, **raw)
+
+    @classmethod
+    def from_json(cls, text: str) -> "PipelineConfig":
+        return cls.from_dict(json.loads(text))
 
     @classmethod
     def from_file(cls, path: str) -> "PipelineConfig":

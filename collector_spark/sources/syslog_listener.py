@@ -165,6 +165,7 @@ class SyslogListenerSource:
         self._messages: list[str] = []
         self._servers: list = []
         self._threads: list[threading.Thread] = []
+        self._stopped = False
         self.tcp_port: int | None = None
         self.udp_port: int | None = None
 
@@ -193,34 +194,54 @@ class SyslogListenerSource:
                 if msg:
                     src._accept([msg])
 
-        if self.protocol in ("tcp", "both"):
-            tcp = socketserver.ThreadingTCPServer(
-                (self.address, self.port), TcpHandler, bind_and_activate=False
-            )
-            tcp.allow_reuse_address = True
-            tcp.daemon_threads = True
-            tcp.server_bind()
-            tcp.server_activate()
-            self.tcp_port = tcp.server_address[1]
-            self._servers.append(tcp)
-        if self.protocol in ("udp", "both"):
-            udp = socketserver.ThreadingUDPServer(
-                # 'both' with port=0 would otherwise get a different
-                # ephemeral port than TCP — acceptable; real configs pin it
-                (self.address, self.port), UdpHandler
-            )
-            udp.daemon_threads = True
-            self.udp_port = udp.server_address[1]
-            self._servers.append(udp)
-        for srv in self._servers:
-            t = threading.Thread(target=srv.serve_forever, daemon=True)
-            t.start()
-            self._threads.append(t)
+        # ATOMIC start: if any bind fails, tear down whatever came up —
+        # a half-started listener must not linger (bound-but-unserved
+        # sockets would queue connections forever and stop() would
+        # deadlock waiting on a serve_forever loop that never ran)
+        try:
+            if self.protocol in ("tcp", "both"):
+                tcp = socketserver.ThreadingTCPServer(
+                    (self.address, self.port), TcpHandler, bind_and_activate=False
+                )
+                tcp.allow_reuse_address = True
+                tcp.daemon_threads = True
+                tcp.server_bind()
+                tcp.server_activate()
+                self.tcp_port = tcp.server_address[1]
+                self._servers.append(tcp)
+            if self.protocol in ("udp", "both"):
+                udp = socketserver.ThreadingUDPServer(
+                    # 'both' with port=0 would otherwise get a different
+                    # ephemeral port than TCP — acceptable; real configs pin it
+                    (self.address, self.port), UdpHandler
+                )
+                udp.daemon_threads = True
+                self.udp_port = udp.server_address[1]
+                self._servers.append(udp)
+            for srv in self._servers:
+                t = threading.Thread(target=srv.serve_forever, daemon=True)
+                t.start()
+                self._threads.append(t)
+        except Exception:
+            # no threads have started yet → server_close only (shutdown()
+            # would block waiting on a loop that never ran)
+            for srv in self._servers:
+                srv.server_close()
+            self._servers.clear()
+            self._threads.clear()
+            self.tcp_port = self.udp_port = None
+            raise
+        self._stopped = False
         return self
 
     def stop(self) -> None:
+        self._stopped = True
+        # shutdown() only for servers whose serve_forever thread ran;
+        # close the socket in any case
+        served = {id(s) for s, t in zip(self._servers, self._threads) if t.is_alive() or t.ident}
         for srv in self._servers:
-            srv.shutdown()
+            if id(srv) in served:
+                srv.shutdown()
             srv.server_close()
         self._servers.clear()
         self._threads.clear()
@@ -233,10 +254,12 @@ class SyslogListenerSource:
     def read_new(
         self, spark: SparkSession, state: dict | None
     ) -> tuple[DataFrame, dict]:
-        if not self._servers:
+        if not self._servers and not self._stopped:
             # conf-driven instances (make_source → Pipeline.run_tick)
             # never call start() explicitly — bring the listeners up on
-            # the first tick
+            # the first tick. An explicitly stop()ped source stays
+            # stopped (no silent listener resurrection); call start()
+            # to deliberately restart.
             self.start()
         msgs = self.drain()
         df = spark.createDataFrame([(m,) for m in msgs] or [], "value: string")

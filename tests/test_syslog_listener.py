@@ -210,6 +210,42 @@ def test_listener_registered_and_validated():
         make_source("syslog", format="RFC9999")
 
 
+def test_listener_start_is_atomic_on_bind_conflict(spark):
+    """If one protocol binds and the other fails (port collision), NO
+    half-started listener lingers: the bound socket is closed, state is
+    reset, and stop() cannot deadlock on a never-served socket."""
+    blocker = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    blocker.bind(("127.0.0.1", 0))
+    port = blocker.getsockname()[1]
+    try:
+        src = SyslogListenerSource(port=port, protocol="both", format="raw")
+        with pytest.raises(OSError):
+            src.start()  # TCP may bind, UDP collides → full teardown
+        assert src._servers == [] and src._threads == []
+        assert src.tcp_port is None and src.udp_port is None
+        src.stop()  # must not hang or raise
+        # TCP port was released by the teardown: we can bind it now
+        probe = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        probe.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        probe.bind(("127.0.0.1", port))
+        probe.close()
+    finally:
+        blocker.close()
+
+
+def test_listener_stays_stopped_after_stop(spark):
+    """read_new after an explicit stop() must NOT resurrect listeners."""
+    src = SyslogListenerSource(port=0, protocol="udp", format="raw").start()
+    src.stop()
+    df, _ = src.read_new(spark, None)
+    assert df.count() == 0
+    assert src._servers == []  # no silent restart
+    # an explicit restart is allowed
+    src.start()
+    assert src._servers
+    src.stop()
+
+
 def test_listener_autostarts_on_first_tick(spark):
     """A conf-driven syslog instance never calls start() — the first
     read_new brings the listeners up."""
