@@ -213,3 +213,26 @@ def fingerprint_col(text: Column) -> Column:
     oracle.rolling_fingerprint. For an oracle-checkable fingerprint use
     F.md5 instead (both engines have md5)."""
     return _fingerprint_udf()(text)
+
+
+def approx_distinct_profile(
+    df,
+    group_col: str,
+    *value_cols: str,
+    rsd: float = 0.02,
+):
+    """Sketch-based per-group cardinality profile: HyperLogLog++
+    (``approx_count_distinct``) per value column with relative standard
+    deviation ``rsd``.
+
+    The 100 TB corpus-profiling tool: exact countDistinct shuffles every
+    distinct value per group; the HLL sketch is fixed-size (~1.04/rsd)^2
+    registers, merged map-side — one tiny row per (group, column)
+    regardless of cardinality. Accuracy is pinned by a tolerance test
+    (tests/test_training_ops.py), not an equality oracle — sketches are
+    approximate by construction."""
+    aggs = [
+        F.approx_count_distinct(c, rsd=rsd).alias(f"approx_distinct_{c}")
+        for c in value_cols
+    ]
+    return df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"), *aggs)

@@ -288,6 +288,35 @@ def test_embedding_near_dup(spark):
     assert (0, 2) not in got
 
 
+def test_approx_distinct_profile_error_bound(spark):
+    """HLL++ sketch cardinalities stay within ~3x the configured rsd of
+    exact counts (probabilistic bound, generous margin for determinism)."""
+    rows = [(i % 4, f"u{i % 997}", f"s{i % 53}") for i in range(20000)]
+    df = spark.createDataFrame(rows, ["grp", "user", "session"])
+    prof = {
+        r.grp: r
+        for r in textstats.approx_distinct_profile(
+            df, "grp", "user", "session", rsd=0.02
+        ).collect()
+    }
+    exact = {
+        r.grp: r
+        for r in df.groupBy("grp")
+        .agg(
+            F.countDistinct("user").alias("du"),
+            F.countDistinct("session").alias("ds"),
+        )
+        .collect()
+    }
+    assert set(prof) == {0, 1, 2, 3}
+    for g, p in prof.items():
+        assert p.n_rows == 5000
+        assert abs(p.approx_distinct_user - exact[g].du) <= 0.06 * exact[g].du
+        assert abs(p.approx_distinct_session - exact[g].ds) <= max(
+            0.06 * exact[g].ds, 2
+        )
+
+
 def test_textstats_native_and_sql_agree(spark):
     import duckdb
 
