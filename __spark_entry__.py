@@ -754,14 +754,19 @@ def _sql_quality() -> str:
 
 
 def q_token_count_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collector_spark.operators.textstats import token_count_col
+    from collector_spark.operators.textstats import (
+        bpe_ish_token_count_col,
+        token_count_col,
+    )
 
     docs = _documents(spark, sf_dir)
     return (
         docs.withColumn("n_tokens", token_count_col(F.col("text")))
+        .withColumn("n_bpe", bpe_ish_token_count_col(F.col("text")))
         .groupBy("lang")
         .agg(
             F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
@@ -771,8 +776,17 @@ def _sql_token_count_agg() -> str:
     from collector_spark.operators.textstats import TOKEN_COUNT_SQL
 
     tc = TOKEN_COUNT_SQL.format(col="text")
+    # bpe-ish segmentation (split at every alnum/non-alnum boundary,
+    # whitespace filtered) counts exactly: alnum runs + non-alnum
+    # non-space characters — expressible without the lookarounds RE2
+    # lacks
+    bpe = (
+        "(len(regexp_extract_all(text, '[A-Za-z0-9]+')) + "
+        "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')))"
+    )
     return (
         f"SELECT lang, CAST(SUM({tc}) AS BIGINT) AS total_tokens, "
+        f"CAST(SUM({bpe}) AS BIGINT) AS total_bpe_tokens, "
         f"CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang"
     )
 
