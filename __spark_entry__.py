@@ -1060,35 +1060,124 @@ GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
-# 26. ANN via LSH buckets (scale path; rows-only — hyperplane family is
-#     md5-seeded, recall pinned vs brute force in tests/test_training_ops.py)
+# 26. ANN via LSH buckets (scale path; EXACT DuckDB oracle: integer-
+#     quantized hyperplane family — see similarity._hyperplanes_int)
 # ---------------------------------------------------------------------------
+
+_LSH_BANDS = 16
+_LSH_BAND_BITS = 16
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-band sign-LSH in its honest regime: find planted high-cosine
-    neighbors (deterministically perturbed copies, cosine ≈ 0.999) in a
+    neighbors (deterministically perturbed copies, cosine ≈ 0.995) in a
     corpus.  16-bit band keys keep the candidate join sub-quadratic at
     any corpus size; recall comes from the 16 bands, not key narrowness
-    (moderate-similarity ANN is ann_ivf_topk's job)."""
+    (moderate-similarity ANN is ann_ivf_topk's job).
+
+    Exactness: the perturbation is rational per-element scaling
+    (1 + ((vec_id+i) mod 7 - 3)*0.05) — every step is one correctly-
+    rounded IEEE op, so Spark and DuckDB produce bit-identical float32
+    vectors — and ``quantized=True`` switches the sketch to the integer
+    hyperplane family whose dot-product signs are exact int64 math.
+    Together they make the full band→candidate→re-rank pipeline replay
+    in DuckDB (round-2 VERDICT #2; was the last no_oracle row)."""
     from collector_spark.operators.similarity import lsh_topk
 
     emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
-    perturbed = emb.select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
+    # perturb FIRST (lambda sees the original vec_id — aliasing the id in
+    # the same select would make the lambda resolve against the shifted
+    # value), then offset the id
+    perturbed = emb.withColumn(
+        "embedding",
         F.transform(
             "embedding",
             lambda x, i: (
-                x.cast("double") * (F.lit(1.0) + 0.05 * F.sin(i + F.col("vec_id")))
+                x.cast("double")
+                * (
+                    F.lit(1.0)
+                    + ((F.col("vec_id") + i) % 7 - F.lit(3)).cast("double")
+                    * F.lit(0.05)
+                )
             ).cast("float"),
-        ).alias("embedding"),
-    )
+        ),
+    ).withColumn("vec_id", F.col("vec_id") + 1000000)
     corpus = emb.unionAll(perturbed)
     queries = emb.filter(F.col("vec_id") < _ANN_NQ)
-    out = lsh_topk(corpus, queries, k=_ANN_K, dim=64, bands=16, band_bits=16)
+    out = lsh_topk(
+        corpus,
+        queries,
+        k=_ANN_K,
+        dim=64,
+        bands=_LSH_BANDS,
+        band_bits=_LSH_BAND_BITS,
+        quantized=True,
+    )
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
     )
+
+
+def _sql_ann_lsh() -> str:
+    """Full sign-LSH ANN in DuckDB: the integer hyperplane coefficients
+    bake into a VALUES table; embeddings quantize to floor(v*2^20)
+    (exact — float32→double is lossless, *2^20 shifts the exponent);
+    band keys are SUM(sign<<bit) in pure BIGINT math; candidates and the
+    cosine re-rank then mirror lsh_topk step for step."""
+    from collector_spark.operators.similarity import QUANT_SCALE, _hyperplanes_int
+
+    dim = 64
+    planes = _hyperplanes_int(dim, _LSH_BANDS * _LSH_BAND_BITS, 42)
+    rows = ",\n".join(
+        f"({b},{t},[{','.join(str(int(c)) for c in planes[b * _LSH_BAND_BITS + t])}])"
+        for b in range(_LSH_BANDS)
+        for t in range(_LSH_BAND_BITS)
+    )
+    return f"""
+WITH planes(band, bit, w) AS (VALUES
+{rows}),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(range(1, {dim + 1}),
+           i -> CAST(CAST(CAST(embedding[i] AS DOUBLE)
+                          * (1.0 + ((vec_id + (i - 1)) % 7 - 3) * 0.05)
+                     AS FLOAT) AS DOUBLE))
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id,
+         list_transform(ev, v -> CAST(FLOOR(v * {QUANT_SCALE}.0) AS BIGINT)) AS qe
+  FROM base
+),
+sig AS (
+  SELECT vec_id, band,
+         SUM(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                                               j -> w[j] * qe[j])) >= 0
+                  THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS bv
+  FROM quant, planes
+  GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM (SELECT * FROM sig WHERE vec_id < {_ANN_NQ}) q
+  JOIN sig c ON q.band = c.band AND q.bv = c.bv AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_cosine_similarity(a.ev, b.ev), 6) AS cosine
+  FROM cand
+  JOIN base a ON cand.query_id = a.vec_id
+  JOIN base b ON cand.neighbor_id = b.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, ROUND(cosine, 4) AS cosine
+FROM (SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {_ANN_K}
+"""
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1277,17 +1366,26 @@ WHERE EXISTS (SELECT 1 FROM orders
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with NO orders at all (left anti join)."""
+    """Customers with NO urgent orders (left anti join).
+
+    Anti-joins against the '1-URGENT' order subset rather than all orders:
+    at every TPC-H sf every in-range customer has *some* order, so the
+    all-orders variant passed vacuously at 0 rows (round-2 VERDICT #1).
+    This variant returns a known non-empty complement of q_semi_join.
+    """
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
     ).select("c_custkey")
 
 
 _SQL_ANTI = """
 SELECT c_custkey FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """
 
 
@@ -1407,8 +1505,8 @@ def oracle_sql() -> dict[str, str]:
         "event_window_agg": _SQL_EVENT_WINDOW,
         "dedup_exact": _SQL_DEDUP_EXACT,
         # the md5-seeded integer hash families replay exactly in DuckDB
-        # (coefficients baked as literals); only the float-hyperplane
-        # ann_lsh_topk stays rows-only (FP summation order differs).
+        # (coefficients baked as literals) — since round 3 that includes
+        # the integer-quantized hyperplane LSH (ann_lsh_topk).
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "dedup_simhash": _sql_simhash_pairs(),
         "dedup_connected_components": _SQL_CONNECTED,
@@ -1429,8 +1527,9 @@ def oracle_sql() -> dict[str, str]:
         "running_total": _SQL_RUNNING,
         "set_ops": _SQL_SET_OPS,
         "join_shuffle_agg": _SQL_JOIN_SHUFFLE,
-        # ann_lsh_topk: md5-seeded hyperplane family — not SQL-expressible;
-        # recall pinned vs brute force in tests/test_training_ops.py.
+        # ann_lsh_topk: integer-quantized hyperplane family replays
+        # exactly in DuckDB (coefficients baked as BIGINT literals)
+        "ann_lsh_topk": _sql_ann_lsh(),
         # ann_ivf_topk with n_probe = n_centroids is EXACT → brute-force oracle
         "ann_ivf_topk": _SQL_ANN,
         # all-lists-probed IVF is exact whatever the centroids are, so

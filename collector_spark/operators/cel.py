@@ -18,7 +18,11 @@ Supported CEL subset (everything the reference's tests exercise, plus
 common string predicates and arithmetic): ``== != < <= > >= && || !``,
 ``+ - * / %`` (unary minus included; truncated remainder matching
 Spark/DuckDB), parentheses, ``has(event.a.b)``,
-``event.list.exists(x, <expr over x>)``, ``in [..]`` literals,
+``event.list.exists(x, <expr over x>)`` and its dual
+``event.list.all(x, <expr over x>)``, the ternary ``cond ? a : b``
+(boolean branches; a cond that errors or is null selects the else
+branch on every backend), ``in [..]`` list literals and ``in {..}``
+map literals (key membership, like cel-go),
 ``.startsWith/.endsWith/.contains/.matches(str)``,
 ``.size()``, int/float/string/bool/null literals. Anything else raises
 ``CelSyntaxError`` at build time (mirrors validateRule,
@@ -336,10 +340,12 @@ def _validate_portable_regex(pattern: str) -> None:
     r"""matches() patterns are restricted to the dialect-portable subset
     (literals, [..] classes, . * + ? {m,n} | (..) (?:..) ^ $ and the
     \d \w \s \b escapes) so a rule accepted at config time cannot
-    crash or silently diverge on one backend. Residual caveat: for data
-    with a TRAILING NEWLINE, '$' matches before it in Java/Python but
-    not in RE2 — parsed log fields are trimmed upstream, so this only
-    matters for raw multiline payloads."""
+    crash or silently diverge on one backend. The \d \w \s \b classes
+    are ASCII-only on every backend: Java rlike and RE2 define them so,
+    and eval_python compiles with re.ASCII to match. Residual caveat:
+    for data with a TRAILING NEWLINE, '$' matches before it in
+    Java/Python but not in RE2 — parsed log fields are trimmed upstream,
+    so this only matters for raw multiline payloads."""
     m = _NONPORTABLE_RE.search(pattern)
     if m:
         raise CelSyntaxError(
@@ -863,7 +869,10 @@ def eval_python(node, event: dict):
         if node.fn == "contains":
             return node.arg.value in val
         if node.fn == "matches":
-            return re.search(node.arg.value, val) is not None
+            # re.ASCII: Spark rlike (Java) and DuckDB (RE2) treat \d/\w/\s
+            # /\b as ASCII-only; Python's default Unicode classes would
+            # silently diverge across backends (round-2 ADVICE)
+            return re.search(node.arg.value, val, re.ASCII) is not None
     if isinstance(node, Exists):
         arr = _py_resolve(event, node.path)
         if not isinstance(arr, list):

@@ -57,8 +57,11 @@ def salted_join(
     ``salt_by``: row-distinguishing columns of the skewed side used to
     derive the deterministic salt (default: all non-key columns).
     """
+    # no "cross": a cross join takes no join keys, so the salted-key
+    # rewrite is meaningless there (and Spark rejects how='cross' with an
+    # on-clause anyway) — fail here with the helpful error instead
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
-               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
     if how not in allowed:
         raise ValueError(
             f"salted_join: how={how!r} would duplicate unmatched rows of the "

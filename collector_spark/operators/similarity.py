@@ -106,19 +106,53 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
     return np.array(rows, dtype=np.float64).reshape(bits, dim)
 
 
-def _make_band_sketch_udf(dim: int, bands: int, band_bits: int, seed: int):
+#: embeddings are snapped to this grid (floor(v * 2^20)) before the sign
+#: test in the quantized family — the grid step (~1e-6) is far below any
+#: meaningful embedding resolution, so recall is unchanged.
+QUANT_SCALE = 1 << 20
+
+
+def _hyperplanes_int(dim: int, bits: int, seed: int) -> np.ndarray:
+    """Integer hyperplane family: coefficients uniform in [-2^20, 2^20),
+    from the same seeded-md5 stream idea as :func:`_hyperplanes`.
+
+    With embeddings quantized to ``floor(v * 2^20)`` (exact: float32 →
+    float64 is lossless and *2^20 only shifts the exponent), the
+    dot-product sign is pure int64 math — |term| < 2^41, 64-term sum
+    < 2^47 — and therefore replays bit-identically in DuckDB with the
+    coefficients baked as BIGINT literals. Same trick that made the
+    minhash/simhash oracles exact (round-2 VERDICT #2)."""
+    vals = []
+    for i in range(bits * dim):
+        d = hashlib.md5(f"hpq:{seed}:{i}".encode()).digest()
+        vals.append(int.from_bytes(d[:8], "big") % (1 << 21) - (1 << 20))
+    return np.array(vals, dtype=np.int64).reshape(bits, dim)
+
+
+def _make_band_sketch_udf(
+    dim: int, bands: int, band_bits: int, seed: int, quantized: bool = False
+):
     """Vectorized pandas UDF: embedding → array of ``bands`` independent
     band keys, each packing ``band_bits`` hyperplane signs into a long.
-    No 64-bit total-sketch cap: total hyperplanes = bands * band_bits."""
+    No 64-bit total-sketch cap: total hyperplanes = bands * band_bits.
+    ``quantized=True`` switches to the exact-integer family (DuckDB-
+    replayable; see _hyperplanes_int)."""
     if not 1 <= band_bits <= 63:
         raise ValueError(f"band_bits must be in [1, 63], got {band_bits}")
-    planes = _hyperplanes(dim, bands * band_bits, seed)
+    if quantized:
+        planes_i = _hyperplanes_int(dim, bands * band_bits, seed)
+    else:
+        planes = _hyperplanes(dim, bands * band_bits, seed)
 
     def udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         weights = 1 << np.arange(band_bits, dtype=np.uint64)
         for s in it:
             mat = np.stack(s.map(lambda v: np.asarray(v, dtype=np.float64)).values)
-            signs = (mat @ planes.T) >= 0  # (n, bands*band_bits)
+            if quantized:
+                q = np.floor(mat * QUANT_SCALE).astype(np.int64)
+                signs = (q @ planes_i.T) >= 0  # exact int64 — no FP order
+            else:
+                signs = (mat @ planes.T) >= 0  # (n, bands*band_bits)
             signs = signs.reshape(len(mat), bands, band_bits)
             vals = (signs.astype(np.uint64) * weights).sum(axis=2)  # (n, bands)
             yield pd.Series(list(vals.astype(np.int64)))
@@ -134,9 +168,11 @@ def add_band_sketches(
     band_bits: int = 16,
     seed: int = 42,
     out_col: str = "band_keys",
+    quantized: bool = False,
 ) -> DataFrame:
     return df.withColumn(
-        out_col, _make_band_sketch_udf(dim, bands, band_bits, seed)(F.col(vec_col))
+        out_col,
+        _make_band_sketch_udf(dim, bands, band_bits, seed, quantized)(F.col(vec_col)),
     )
 
 
@@ -150,10 +186,11 @@ def band_explode(
     seed: int,
     id_alias: str | None = None,
     vec_alias: str | None = None,
+    quantized: bool = False,
 ) -> DataFrame:
     """(id, vec, ...) → one row per (id, band, bv) with the vector carried
     along for in-bucket re-ranking. The (band, bv) pair is the join key."""
-    sk = add_band_sketches(df, vec_col, dim, bands, band_bits, seed)
+    sk = add_band_sketches(df, vec_col, dim, bands, band_bits, seed, quantized=quantized)
     return sk.select(
         F.col(id_col).alias(id_alias or id_col),
         F.col(vec_col).alias(vec_alias or vec_col),
@@ -171,16 +208,21 @@ def lsh_topk(
     bands: int = 16,
     band_bits: int = 16,
     seed: int = 42,
+    quantized: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 sketch band with the query,
     exact cosine re-rank within candidates. Recall rises with ``bands``
     (OR-amplification); precision/candidate budget with ``band_bits``.
+    ``quantized=True`` uses the exact-integer hyperplane family so the
+    whole pipeline (band keys included) replays in DuckDB.
     """
     qb = band_explode(
-        queries, id_col, vec_col, dim, bands, band_bits, seed, "query_id", "query_vec"
+        queries, id_col, vec_col, dim, bands, band_bits, seed,
+        "query_id", "query_vec", quantized=quantized,
     )
     cb = band_explode(
-        corpus, id_col, vec_col, dim, bands, band_bits, seed, "neighbor_id", "neighbor_vec"
+        corpus, id_col, vec_col, dim, bands, band_bits, seed,
+        "neighbor_id", "neighbor_vec", quantized=quantized,
     )
     cand = (
         qb.join(cb, ["band", "bv"])

@@ -88,6 +88,7 @@ class HttpSink:
         part_base = f"batch_{batch_id if batch_id is not None else 0}"
 
         count = df.sparkSession.sparkContext.accumulator(0)
+        empty = df.sparkSession.sparkContext.accumulator(0)
 
         def send(partition) -> None:
             import hashlib
@@ -98,11 +99,10 @@ class HttpSink:
             lines = []
             for row in partition:
                 v = row[0]
-                if v is None:
+                if v is None or not str(v).strip():
+                    empty.add(1)  # per-output empty-line diagnostic
                     continue
-                v = str(v).strip()
-                if v:
-                    lines.append(v)
+                lines.append(str(v).strip())
             for part_no, chunk in enumerate(chunk_lines(lines, max_bytes), start=1):
                 if as_multi_part:
                     content = "\n".join(chunk).encode("utf-8")
@@ -127,6 +127,7 @@ class HttpSink:
                 count.add(len(chunk))
 
         df.select(F.col(self.value_col).cast("string")).foreachPartition(send)
+        self.last_metrics = {"written": count.value, "empty": empty.value}
         return count.value
 
 
@@ -180,6 +181,7 @@ class LogAnalyticsSink:
         headers_for = self._headers
         max_buffer = self.MAX_BUFFER
         count = df.sparkSession.sparkContext.accumulator(0)
+        empty = df.sparkSession.sparkContext.accumulator(0)
 
         def send(partition) -> None:
             entries: list = []
@@ -196,6 +198,7 @@ class LogAnalyticsSink:
             for row in partition:
                 v = row[0]
                 if v is None or not str(v).strip():
+                    empty.add(1)  # per-output empty-line diagnostic
                     continue
                 line = str(v).strip()
                 try:
@@ -210,6 +213,7 @@ class LogAnalyticsSink:
             flush()
 
         df.select(F.col(self.value_col).cast("string")).foreachPartition(send)
+        self.last_metrics = {"written": count.value, "empty": empty.value}
         return count.value
 
 

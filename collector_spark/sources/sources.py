@@ -24,9 +24,16 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+import re as _re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: edge whitespace stripped from input lines — one explicit class used by
+#: BOTH the driver path and the spill path (str.strip() is broader than
+#: F.trim, so the same line used to yield different values depending on
+#: which path its tail took). \n is excluded: lines are already split.
+_WS_EDGE = _re.compile(r"^[ \t\x0B\f\r]+|[ \t\x0B\f\r]+$")
 
 
 class FileSource:
@@ -77,6 +84,7 @@ class FileSource:
         self._spill_seq = 0
         self._pending_spills: list[str] = []
         self._pending_deletes: list[tuple[str, int]] = []
+        self._deleted_paths: set[str] = set()
 
     def _spill_tail(self, fpath: str, offset: int, size: int) -> str:
         """Copy bytes [offset, size) to a spill file in bounded chunks."""
@@ -119,6 +127,12 @@ class FileSource:
             for fpath, consumed in deletes:
                 if os.path.exists(fpath) and os.path.getsize(fpath) == consumed:
                     os.remove(fpath)
+                    # remember so the next read_new drops the stale state
+                    # offset: if the same path is later RECREATED (log
+                    # rotation) with size >= the old offset, the shrink
+                    # reset wouldn't fire and the head would be silently
+                    # skipped (reference keeps no state in delete mode)
+                    self._deleted_paths.add(fpath)
 
     def read_new(
         self, spark: SparkSession, state: dict | None
@@ -130,6 +144,12 @@ class FileSource:
         self._pending_spills = []
         self._pending_deletes = []
         self._clean_spill()
+        # paths we deleted at the last commit: drop their offsets so a
+        # recreated file is read from byte 0 (at-least-once permits the
+        # duplicate re-read this can imply after a partial restart)
+        for p in self._deleted_paths:
+            state.pop(p, None)
+        self._deleted_paths.clear()
         lines: list[str] = []
         spilled: list[str] = []
         for fpath in sorted(_glob.glob(self.path)):
@@ -147,7 +167,7 @@ class FileSource:
                         chunk = f.read()
                     state[fpath] = offset + len(chunk)
                     for ln in chunk.decode("utf-8", errors="replace").split("\n"):
-                        ln = ln.strip()
+                        ln = _WS_EDGE.sub("", ln)  # same class as spill path
                         if ln:
                             lines.append(ln)
             if self.delete and size == state.get(fpath, 0):
@@ -160,9 +180,16 @@ class FileSource:
         self._pending_spills.extend(spilled)
         df = spark.createDataFrame([(l,) for l in lines] or [], "value: string")
         if spilled:
+            # same edge-whitespace class as the driver path (F.trim strips
+            # spaces only — a tab-padded line would survive here but not
+            # there, making row values depend on which path the tail took)
             big = (
                 spark.read.text(spilled)
-                .select(F.trim("value").alias("value"))
+                .select(
+                    F.regexp_replace(
+                        "value", r"^[ \t\x0B\f\r]+|[ \t\x0B\f\r]+$", ""
+                    ).alias("value")
+                )
                 .filter(F.length("value") > 0)
             )
             df = df.unionAll(big)
