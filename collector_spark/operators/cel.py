@@ -62,7 +62,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<num>\d+\.\d+|\d+)
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<op>==|!=|<=|>=|&&|\|\||[<>!().,\[\]+\-*/%])
+  | (?P<op>==|!=|<=|>=|&&|\|\||[<>!().,:?{}\[\]+\-*/%])
   | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
 """,
     re.VERBOSE,
@@ -144,6 +144,27 @@ class Exists:
 
 
 @dataclass
+class ForAll:
+    """``list.all(x, body)`` — exists()'s dual (cel-go macro)."""
+
+    path: Path
+    var: str
+    body: object
+
+
+@dataclass
+class Ternary:
+    """``cond ? then : else`` with boolean branches. A cond that errors
+    or is null selects the else branch — the same COALESCE(..., FALSE)
+    convention the other boolean contexts here use, applied identically
+    on all three backends."""
+
+    cond: object
+    then: object
+    els: object
+
+
+@dataclass
 class StrFn:
     fn: str  # startsWith | endsWith | contains | size
     path: Path
@@ -175,9 +196,19 @@ class _Parser:
             raise CelSyntaxError(f"expected {value!r}, got {v!r}")
 
     def parse(self):
-        node = self.parse_or()
+        node = self.parse_ternary()
         if self.peek()[0] != "eof":
             raise CelSyntaxError(f"trailing input at token {self.peek()[1]!r}")
+        return node
+
+    def parse_ternary(self):
+        node = self.parse_or()
+        if self.peek()[1] == "?":
+            self.next()
+            then = self.parse_ternary()  # right-associative, like cel-go
+            self.expect(":")
+            els = self.parse_ternary()
+            return Ternary(node, then, els)
         return node
 
     def parse_or(self):
@@ -202,6 +233,9 @@ class _Parser:
             return Cmp(v, node, self.parse_add())
         if kind == "ident" and v == "in":
             self.next()
+            if self.peek()[1] == "{":
+                # map literal → key membership, like cel-go ('k' in {'k': 1})
+                return InList(node, self.parse_map_literal_keys())
             return InList(node, self.parse_list_literal())
         return node
 
@@ -231,6 +265,26 @@ class _Parser:
                 self.next()
         self.expect("]")
         return items
+
+    def parse_map_literal_keys(self) -> list:
+        """``{k1: v1, k2: v2}`` → [k1, k2]. Only the keys matter for the
+        'in' membership test (cel-go semantics); values must still be
+        literals so a bad rule is rejected at config time."""
+        self.expect("{")
+        keys = []
+        while self.peek()[1] != "}":
+            key = self.parse_unary()
+            if not isinstance(key, Lit) or isinstance(key.value, (bool, type(None))):
+                raise CelSyntaxError("map literal keys must be string/number literals")
+            self.expect(":")
+            val = self.parse_unary()
+            if not isinstance(val, Lit):
+                raise CelSyntaxError("map literal values must be literals")
+            keys.append(key.value)
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect("}")
+        return keys
 
     def parse_unary(self):
         kind, v = self.peek()
@@ -305,14 +359,16 @@ class _Parser:
             if not base.parts:
                 raise CelSyntaxError(f"unknown function {method!r}")
             self.next()  # (
-            if method == "exists":
+            if method in ("exists", "all"):
                 kind, var = self.next()
                 if kind != "ident":
-                    raise CelSyntaxError("exists() requires a variable name")
+                    raise CelSyntaxError(f"{method}() requires a variable name")
                 self.expect(",")
                 body = self.parse_or()
                 self.expect(")")
                 _validate_exists_body(body, var)
+                if method == "all":
+                    return ForAll(base, var, body)
                 return Exists(base, var, body)
             if method in ("startsWith", "endsWith", "contains", "matches"):
                 arg = self.parse_unary()
@@ -531,6 +587,13 @@ class ColumnCompiler:
             return self._strfn(node)
         if isinstance(node, Exists):
             return self._exists(node)
+        if isinstance(node, ForAll):
+            return self._forall(node)
+        if isinstance(node, Ternary):
+            cond = F.coalesce(self.compile(node.cond), F.lit(False))
+            return F.when(cond, self.compile(node.then)).otherwise(
+                self.compile(node.els)
+            )
         if isinstance(node, Path):
             # bare boolean path
             return self._typed_path(node, True)
@@ -571,6 +634,24 @@ class ColumnCompiler:
             return _compile_lambda_body(node.body, var, x, self)
 
         return F.coalesce(F.exists(arr, body_fn), F.lit(False))
+
+    def _forall(self, node: ForAll) -> Column:
+        elem_type = "string"
+        for lit in _body_literals(node.body):
+            if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+                elem_type = "double"
+        if self.mode == "json":
+            arr = F.from_json(self._raw_path(node.path), f"array<{elem_type}>")
+        else:
+            arr = self._raw_path(node.path)
+        var = node.var
+
+        def body_fn(x: Column) -> Column:
+            return _compile_lambda_body(node.body, var, x, self)
+
+        # missing/null list → FALSE (the error-as-non-match convention);
+        # empty list → TRUE (cel-go all() over [] is vacuously true)
+        return F.coalesce(F.forall(arr, body_fn), F.lit(False))
 
 
 def _body_literals(node):
@@ -727,6 +808,32 @@ class SqlCompiler:
             body = self._sql_lambda_body(node.body, node.var)
             return (
                 f"COALESCE(len(list_filter({arr}, {node.var} -> {body})) > 0, FALSE)"
+            )
+        if isinstance(node, ForAll):
+            elem_type = "VARCHAR"
+            for lit in _body_literals(node.body):
+                if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+                    elem_type = "DOUBLE"
+            if self.mode == "json":
+                arr = (
+                    f"TRY_CAST(json_extract({self.value_col}, "
+                    f"'$.{'.'.join(node.path.parts[1:])}') AS {elem_type}[])"
+                )
+            else:
+                arr = self._raw_path(node.path)
+            body = self._sql_lambda_body(node.body, node.var)
+            # an element whose body is NULL counts as a violation — same
+            # outcome Spark's forall gives (NULL → COALESCE FALSE)
+            return (
+                f"COALESCE(len(list_filter({arr}, "
+                f"{node.var} -> NOT COALESCE({body}, FALSE))) = 0, FALSE)"
+            )
+        if isinstance(node, Ternary):
+            cond = self.compile(node.cond)
+            return (
+                f"(CASE WHEN COALESCE({cond}, FALSE) "
+                f"THEN {self.compile(node.then)} "
+                f"ELSE {self.compile(node.els)} END)"
             )
         if isinstance(node, Path):
             return self._typed_path(node, True)
@@ -885,6 +992,25 @@ def eval_python(node, event: dict):
             except CelEvalError:
                 continue
         return False
+    if isinstance(node, ForAll):
+        arr = _py_resolve(event, node.path)
+        if not isinstance(arr, list):
+            raise CelEvalError("all() on non-list")
+        rebound = _rebind(node.body, node.var)
+        for item in arr:
+            try:
+                ok = eval_python(rebound, {**event, node.var: item}) is True
+            except CelEvalError:
+                ok = False  # errored element = violation (matches SQL/Column)
+            if not ok:
+                return False
+        return True  # vacuously true over [], like cel-go
+    if isinstance(node, Ternary):
+        try:
+            cond = eval_python(node.cond, event) is True
+        except CelEvalError:
+            cond = False  # error/null cond selects the else branch
+        return eval_python(node.then if cond else node.els, event)
     raise CelEvalError(f"cannot evaluate {node!r}")
 
 

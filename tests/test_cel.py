@@ -28,6 +28,15 @@ RULE8 = "event.code / 2 > 240"
 RULE9 = "-event.code < -250"
 # regex matches() across all three backends (unanchored search)
 RULE10 = 'event.status.matches("^inv[a-z]+ request$")'
+# all() — exists()'s dual (cel-go macro); vacuous truth + missing-list
+RULE11 = 'has(event.data.errors) && event.data.errors.all(x, x != "invalid header")'
+RULE12 = 'event.data.errors.all(x, x != "zzz")'  # missing list → non-match
+# ternary — incl. the error/null-cond-takes-else convention (event 3 has
+# no status: cond errors → else branch)
+RULE13 = 'event.code == 400 ? event.status == "invalid request" : event.code == 500'
+RULE14 = 'event.status == "success" ? event.code == 200 : event.code == 400'
+# map literal after in → key membership (cel-go semantics)
+RULE15 = 'event.status in {"success": 1, "pending": 2}'
 
 # expected per-event match for each single rule (engine_test.go:26-71)
 TRUTH = {
@@ -41,6 +50,11 @@ TRUTH = {
     RULE8: [False, False, True, False],
     RULE9: [True, False, True, True],
     RULE10: [True, False, False, True],
+    RULE11: [True, False, False, False],
+    RULE12: [True, False, False, True],
+    RULE13: [True, False, True, True],
+    RULE14: [True, True, False, True],
+    RULE15: [False, True, False, False],
 }
 
 INVALID_RULES = [
@@ -51,9 +65,14 @@ INVALID_RULES = [
     # non-portable across Spark(Java)/DuckDB(RE2)/Python dialects
     'event.status.matches("(?=inv)")',
     'event.status.matches("\\\\p{Lower}+")',
-    # exists() bodies beyond the all-backends subset fail at config time
+    # exists()/all() bodies beyond the all-backends subset fail at config time
     'event.tags.exists(t, t.matches("^a"))',
     'event.tags.exists(t, t.startsWith("a"))',
+    'event.tags.all(t, t.matches("^a"))',
+    # malformed ternary / map literals
+    "event.code == 200 ? event.code == 1",        # missing ':'
+    'event.status in {"a"}',                      # map literal needs k: v
+    "event.status in {event.code: 1}",            # non-literal key
 ]
 
 
