@@ -39,6 +39,10 @@ class BatchRecord:
     # counts these per output, e.g. internal/output/log_analytics/
     # log_analytics.go:133-135, kafka.go:86-90)
     per_sink_empty_counts: dict = field(default_factory=dict)
+    # diagnostic: bounded-retry tally per sink (the reference's RetryCount
+    # in PipelineResults, pkg/core/channel.go:3-8; its HTTP-family outputs
+    # do 3-attempt retries, log_analytics.go:186, s3.go:38)
+    per_sink_retry_counts: dict = field(default_factory=dict)
     # per-partition lineage: {spark_partition_id: rows surviving the
     # processor chain} — the partition-granular progress/skew record the
     # north rule asks for (and the reference's per-batch ResultCount,

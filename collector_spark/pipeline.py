@@ -238,6 +238,7 @@ class Pipeline:
 
         per_sink: dict[str, int] = {}
         per_sink_empty: dict[str, int] = {}
+        per_sink_retry: dict[str, int] = {}
         partition_counts: dict[str, int] = {}
         wrote_any = False
         if self.router is not None:
@@ -249,6 +250,8 @@ class Pipeline:
                     metrics = getattr(sink, "last_metrics", None) or {}
                     if metrics.get("empty"):
                         per_sink_empty[name] = metrics["empty"]
+                    if metrics.get("retries"):
+                        per_sink_retry[name] = metrics["retries"]
                     wrote_any = True
                 # per-partition lineage over the persisted parent (cheap:
                 # no recompute, one count per cached partition)
@@ -274,6 +277,7 @@ class Pipeline:
             per_stage_counts=per_stage,
             per_sink_counts=per_sink,
             per_sink_empty_counts=per_sink_empty,
+            per_sink_retry_counts=per_sink_retry,
             partition_counts=partition_counts,
         )
         if self.manifest is not None:
@@ -292,6 +296,7 @@ class Pipeline:
         tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
         per_sink: dict[str, int] = {}
         per_sink_empty: dict[str, int] = {}
+        per_sink_retry: dict[str, int] = {}
         partition_counts: dict[str, int] = {}
         try:
             if self.router is not None:
@@ -302,6 +307,8 @@ class Pipeline:
                     metrics = getattr(sink, "last_metrics", None) or {}
                     if metrics.get("empty"):
                         per_sink_empty[name] = metrics["empty"]
+                    if metrics.get("retries"):
+                        per_sink_retry[name] = metrics["retries"]
             per_sink["__quarantine__"] = self.quarantine_sink.write(
                 quarantined, batch_id=batch_id
             )
@@ -318,6 +325,7 @@ class Pipeline:
             source_state=source_state or {},
             per_sink_counts=per_sink,
             per_sink_empty_counts=per_sink_empty,
+            per_sink_retry_counts=per_sink_retry,
             partition_counts=partition_counts,
         )
         if self.manifest is not None:

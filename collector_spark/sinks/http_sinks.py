@@ -36,6 +36,31 @@ def _default_poster(url: str, body: bytes, headers: dict) -> int:
     return resp.status_code
 
 
+def post_with_retries(
+    poster, url: str, body: bytes, headers: dict,
+    attempts: int, wait: float, retries_acc=None,
+):
+    """Bounded retry around one POST — the reference's 3-attempt loop in
+    its HTTP-family outputs (internal/output/log_analytics/
+    log_analytics.go:186, s3/s3.go:38, integrations/msgraph/client.go:48).
+    Re-raises the last error once ``attempts`` are exhausted; every retry
+    (attempt beyond the first) is tallied into ``retries_acc`` so the
+    batch manifest can surface per-sink retry counts."""
+    import time as _time
+
+    last_err = None
+    for attempt in range(attempts):
+        if attempt and retries_acc is not None:
+            retries_acc.add(1)
+        try:
+            return poster(url, body, headers)
+        except Exception as e:  # noqa: BLE001 — any transport error retries
+            last_err = e
+            if attempt + 1 < attempts and wait > 0:
+                _time.sleep(wait)
+    raise last_err
+
+
 def multipart_envelope(
     field: str, filename: str, content: bytes, boundary: str
 ) -> tuple[bytes, dict]:
@@ -69,6 +94,8 @@ class HttpSink:
         as_multi_part: bool = False,
         value_col: str = "value",
         poster=None,
+        retry_attempts: int = 3,
+        retry_wait: float = 0.5,
         **_,
     ):
         if as_json and as_multi_part:
@@ -80,6 +107,8 @@ class HttpSink:
         self.as_multi_part = as_multi_part
         self.value_col = value_col
         self.poster = poster or _default_poster
+        self.retry_attempts = retry_attempts
+        self.retry_wait = retry_wait
 
     def write(self, df: DataFrame, batch_id: int | None = None) -> int:
         url, headers = self.url, self.headers
@@ -89,6 +118,8 @@ class HttpSink:
 
         count = df.sparkSession.sparkContext.accumulator(0)
         empty = df.sparkSession.sparkContext.accumulator(0)
+        retries = df.sparkSession.sparkContext.accumulator(0)
+        attempts, wait = self.retry_attempts, self.retry_wait
 
         def send(partition) -> None:
             import hashlib
@@ -123,11 +154,15 @@ class HttpSink:
                 else:
                     body = "\n".join(chunk).encode("utf-8")
                     hdrs = dict(headers)
-                poster(url, body, hdrs)
+                post_with_retries(poster, url, body, hdrs, attempts, wait, retries)
                 count.add(len(chunk))
 
         df.select(F.col(self.value_col).cast("string")).foreachPartition(send)
-        self.last_metrics = {"written": count.value, "empty": empty.value}
+        self.last_metrics = {
+            "written": count.value,
+            "empty": empty.value,
+            "retries": retries.value,
+        }
         return count.value
 
 
@@ -147,6 +182,8 @@ class LogAnalyticsSink:
         date_field: str | None = None,
         value_col: str = "value",
         poster=None,
+        retry_attempts: int = 3,
+        retry_wait: float = 0.5,
         **_,
     ):
         self.workspace_id = workspace_id
@@ -155,6 +192,8 @@ class LogAnalyticsSink:
         self.date_field = date_field
         self.value_col = value_col
         self.poster = poster or _default_poster
+        self.retry_attempts = retry_attempts
+        self.retry_wait = retry_wait
 
     def _headers(self, content_length: int) -> dict:
         date = datetime.now(timezone.utc).strftime("%a, %d %b %Y %H:%M:%S GMT")
@@ -182,6 +221,8 @@ class LogAnalyticsSink:
         max_buffer = self.MAX_BUFFER
         count = df.sparkSession.sparkContext.accumulator(0)
         empty = df.sparkSession.sparkContext.accumulator(0)
+        retries = df.sparkSession.sparkContext.accumulator(0)
+        attempts, wait = self.retry_attempts, self.retry_wait
 
         def send(partition) -> None:
             entries: list = []
@@ -192,7 +233,10 @@ class LogAnalyticsSink:
                 if not entries:
                     return
                 body = json.dumps(entries).encode("utf-8")
-                poster(url, body, headers_for(len(body)))
+                post_with_retries(
+                    poster, url, body, headers_for(len(body)),
+                    attempts, wait, retries,
+                )
                 entries, size = [], 0
 
             for row in partition:
@@ -213,7 +257,11 @@ class LogAnalyticsSink:
             flush()
 
         df.select(F.col(self.value_col).cast("string")).foreachPartition(send)
-        self.last_metrics = {"written": count.value, "empty": empty.value}
+        self.last_metrics = {
+            "written": count.value,
+            "empty": empty.value,
+            "retries": retries.value,
+        }
         return count.value
 
 

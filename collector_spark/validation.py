@@ -184,6 +184,8 @@ SINK_SCHEMAS: dict[str, dict[str, Spec]] = {
         "as_multi_part": spec(bool),
         "value_col": spec(str),
         "poster": Spec(),
+        "retry_attempts": spec(int, min_value=1),
+        "retry_wait": spec(int, float, min_value=0),
     },
     # internal/output/log_analytics/log_analytics.go:24-31
     "log_analytics": {
@@ -193,6 +195,8 @@ SINK_SCHEMAS: dict[str, dict[str, Spec]] = {
         "date_field": spec(str),
         "value_col": spec(str),
         "poster": Spec(),
+        "retry_attempts": spec(int, min_value=1),
+        "retry_wait": spec(int, float, min_value=0),
     },
     # internal/output/pubsub/pubsub.go:24-35
     "pubsub": {

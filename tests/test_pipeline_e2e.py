@@ -229,6 +229,46 @@ def test_pipeline_surfaces_empty_line_counts(spark, tmp_path):
     assert committed.per_sink_empty_counts == {"out": 3}
 
 
+def test_pipeline_surfaces_retry_counts(spark, tmp_path):
+    """A sink that needed retries reports them through last_metrics into
+    BatchRecord.per_sink_retry_counts and the committed manifest (the
+    reference's RetryCount in PipelineResults, pkg/core/channel.go:3-8)."""
+    import os
+
+    marker_dir = tmp_path / "tries"
+    marker_dir.mkdir()
+
+    def flaky_poster(url, body, headers):
+        n = len(os.listdir(marker_dir))
+        open(marker_dir / f"t{n}", "w").close()
+        if n < 2:
+            raise RuntimeError("503")
+        return 200
+
+    df = spark.createDataFrame([("alpha",), ("beta",)], "value string").coalesce(1)
+    config = PipelineConfig(
+        instance_id="r1",
+        sinks=[
+            SinkSpec(
+                "web",
+                "http",
+                None,
+                {
+                    "url": "http://example.invalid/x",
+                    "poster": flaky_poster,
+                    "retry_wait": 0,
+                },
+            )
+        ],
+    )
+    pipe = Pipeline(config, state_dir=str(tmp_path / "state"))
+    record = pipe.run_batch(df, batch_id=0)
+    assert record.per_sink_counts == {"web": 2}
+    assert record.per_sink_retry_counts == {"web": 2}
+    committed = Manifest(str(tmp_path / "state"), "r1").load()[-1]
+    assert committed.per_sink_retry_counts == {"web": 2}
+
+
 def test_status_rollup_and_error_drop(spark, tmp_path):
     """Status roll-up (reference internal/app/manager/status.go:7-27):
     last successful run + errors-since-success; on_error='drop' mirrors

@@ -89,6 +89,34 @@ def test_http_sink_multipart_envelope(spark, tmp_path):
     assert sorted(all_lines) == sorted(f"line-{i}" for i in range(40))
 
 
+def test_http_sink_bounded_retry(spark, tmp_path):
+    """Flaky endpoint: first two POSTs fail, third succeeds — the sink
+    retries (the reference's 3-attempt loop, log_analytics.go:186,
+    s3.go:38) with the tally surfaced in last_metrics; a permanently
+    failing endpoint exhausts its attempts and raises."""
+
+    def flaky_poster(url, body, headers):
+        n = len([f for f in os.listdir(tmp_path) if f.startswith("try_")])
+        open(tmp_path / f"try_{n}", "w").close()
+        if n < 2:
+            raise RuntimeError("503 service unavailable")
+        return 200
+
+    df = spark.createDataFrame([("hello",), ("world",)], ["value"]).coalesce(1)
+    sink = HttpSink("http://example.invalid/x", poster=flaky_poster, retry_wait=0)
+    n = sink.write(df)
+    assert n == 2
+    assert sink.last_metrics == {"written": 2, "empty": 0, "retries": 2}
+    assert len([f for f in os.listdir(tmp_path) if f.startswith("try_")]) == 3
+
+    def dead_poster(url, body, headers):
+        raise RuntimeError("always down")
+
+    sink2 = HttpSink("http://example.invalid/x", poster=dead_poster, retry_wait=0)
+    with pytest.raises(Exception, match="always down"):
+        sink2.write(df)
+
+
 def test_http_sink_rejects_conflicting_modes():
     import pytest
 
