@@ -21,8 +21,9 @@ Spark/DuckDB), parentheses, ``has(event.a.b)``,
 ``event.list.exists(x, <expr over x>)`` and its dual
 ``event.list.all(x, <expr over x>)``, the ternary ``cond ? a : b``
 (boolean branches; a cond that errors or is null selects the else
-branch on every backend), ``in [..]`` list literals and ``in {..}``
-map literals (key membership, like cel-go),
+branch on every backend), ``in [..]`` list literals, ``in {..}``
+map literals (key membership, like cel-go), ``<literal> in
+event.some.list`` field membership,
 ``.startsWith/.endsWith/.contains/.matches(str)``,
 ``.size()``, int/float/string/bool/null literals. Anything else raises
 ``CelSyntaxError`` at build time (mirrors validateRule,
@@ -177,6 +178,15 @@ class InList:
     items: list
 
 
+@dataclass
+class InField:
+    """``<literal> in event.some.list`` — membership over a LIST FIELD
+    (cel-go's `in` over a dynamic list), vs InList's literal collection."""
+
+    needle: Lit
+    path: Path
+
+
 class _Parser:
     def __init__(self, src: str):
         self.tokens = _tokenize(src)
@@ -236,7 +246,19 @@ class _Parser:
             if self.peek()[1] == "{":
                 # map literal → key membership, like cel-go ('k' in {'k': 1})
                 return InList(node, self.parse_map_literal_keys())
-            return InList(node, self.parse_list_literal())
+            if self.peek()[1] == "[":
+                return InList(node, self.parse_list_literal())
+            # '<lit> in event.some.list' — membership over a list field
+            rhs = self.parse_unary()
+            if not isinstance(rhs, Path):
+                raise CelSyntaxError(
+                    "'in' needs a [..] / {..} literal or a list field path"
+                )
+            if not isinstance(node, Lit) or isinstance(node.value, (bool, type(None))):
+                raise CelSyntaxError(
+                    "'in <field>' needs a string/number literal needle"
+                )
+            return InField(node, rhs)
         return node
 
     def parse_add(self):
@@ -581,6 +603,24 @@ class ColumnCompiler:
         if isinstance(node, InList):
             like = node.items[0] if node.items else None
             return self._operand(node.operand, like).isin(node.items)
+        if isinstance(node, InField):
+            elem = (
+                "double"
+                if isinstance(node.needle.value, (int, float))
+                and not isinstance(node.needle.value, bool)
+                else "string"
+            )
+            if self.mode == "json":
+                arr = F.from_json(self._raw_path(node.path), f"array<{elem}>")
+            else:
+                arr = self._raw_path(node.path)
+            needle = (
+                float(node.needle.value) if elem == "double" else node.needle.value
+            )
+            # missing/null list → FALSE (error-as-non-match convention)
+            return F.coalesce(
+                F.array_contains(arr, F.lit(needle)), F.lit(False)
+            )
         if isinstance(node, StrFn):
             if node.fn == "size":
                 raise CelSyntaxError("size() must appear inside a comparison")
@@ -781,6 +821,22 @@ class SqlCompiler:
             items = ", ".join(self._lit(v) for v in node.items)
             like = node.items[0] if node.items else None
             return f"({self._typed_path(node.operand, like)} IN ({items}))"
+        if isinstance(node, InField):
+            is_num = isinstance(node.needle.value, (int, float)) and not isinstance(
+                node.needle.value, bool
+            )
+            elem = "DOUBLE" if is_num else "VARCHAR"
+            if self.mode == "json":
+                arr = (
+                    f"TRY_CAST(json_extract({self.value_col}, "
+                    f"'$.{'.'.join(node.path.parts[1:])}') AS {elem}[])"
+                )
+            else:
+                arr = self._raw_path(node.path)
+            needle = self._lit(
+                float(node.needle.value) if is_num else node.needle.value
+            )
+            return f"COALESCE(list_contains({arr}, {needle}), FALSE)"
         if isinstance(node, StrFn):
             raw = self._raw_path(node.path)
             if node.fn == "startsWith":
@@ -963,6 +1019,21 @@ def eval_python(node, event: dict):
     if isinstance(node, InList):
         val = eval_python(node.operand, event)
         return val in node.items
+    if isinstance(node, InField):
+        arr = _py_resolve(event, node.path)
+        if not isinstance(arr, list):
+            raise CelEvalError("'in' field is not a list")
+        needle = node.needle.value
+        if isinstance(needle, (int, float)) and not isinstance(needle, bool):
+            # numeric membership compares as double (matches the other
+            # backends' DOUBLE[] cast — 3 in [3.0] is a match)
+            return any(
+                isinstance(v, (int, float))
+                and not isinstance(v, bool)
+                and float(v) == float(needle)
+                for v in arr
+            )
+        return needle in arr
     if isinstance(node, StrFn):
         val = _py_resolve(event, node.path)
         if node.fn == "size":

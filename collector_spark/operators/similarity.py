@@ -322,6 +322,17 @@ def kmeans_centroids(
     return planes
 
 
+def suggest_n_centroids(corpus_rows: int) -> int:
+    """The standard IVF sizing rule: n_centroids ~ sqrt(N), floored at 16
+    so tiny corpora still get multiple lists. At sqrt(N) both the
+    assignment cost (N·n_centroids) and the probe cost per query
+    (n_probe·N/n_centroids) stay balanced as N grows — 1e6 vectors → 1000
+    lists of ~1000, 1e10 → 100k lists of ~100k."""
+    from math import isqrt
+
+    return max(16, isqrt(max(corpus_rows, 0)))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -329,10 +340,11 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     seed: int = 42,
     kmeans_iters: int = 0,
+    corpus_rows_hint: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in ONE inverted list
     (their nearest centroid); each query probes its ``n_probe`` nearest
@@ -344,9 +356,16 @@ def ivf_topk(
     Recall tuning is n_probe (and centroid quality); n_probe=n_centroids
     degrades gracefully to exact brute force. ``kmeans_iters > 0`` runs
     that many distributed Lloyd iterations to fit the centroids to the
-    corpus first (see kmeans_centroids) — scale n_centroids ~ sqrt(N)
-    with corpus size and refine for balanced lists.
+    corpus first (see kmeans_centroids) for balanced lists.
+
+    ``n_centroids`` defaults to ``suggest_n_centroids`` (sqrt(N), min
+    16) from ``corpus_rows_hint`` — pass the hint when you know the
+    corpus size (at scale you do: it's in the table stats) to avoid the
+    one extra count() job; pass ``n_centroids`` explicitly to override.
     """
+    if n_centroids is None:
+        rows = corpus_rows_hint if corpus_rows_hint is not None else corpus.count()
+        n_centroids = suggest_n_centroids(rows)
     if kmeans_iters > 0:
         planes = kmeans_centroids(corpus, vec_col, dim, n_centroids, kmeans_iters, seed)
     else:

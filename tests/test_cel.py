@@ -37,6 +37,9 @@ RULE13 = 'event.code == 400 ? event.status == "invalid request" : event.code == 
 RULE14 = 'event.status == "success" ? event.code == 200 : event.code == 400'
 # map literal after in → key membership (cel-go semantics)
 RULE15 = 'event.status in {"success": 1, "pending": 2}'
+# membership over a LIST FIELD (cel-go 'in' over dynamic lists);
+# events 2/3 lack data.errors → non-match on every backend
+RULE16 = '"invalid scope" in event.data.errors'
 
 # expected per-event match for each single rule (engine_test.go:26-71)
 TRUTH = {
@@ -55,6 +58,7 @@ TRUTH = {
     RULE13: [True, False, True, True],
     RULE14: [True, True, False, True],
     RULE15: [False, True, False, False],
+    RULE16: [True, False, False, False],
 }
 
 INVALID_RULES = [
@@ -69,10 +73,12 @@ INVALID_RULES = [
     'event.tags.exists(t, t.matches("^a"))',
     'event.tags.exists(t, t.startsWith("a"))',
     'event.tags.all(t, t.matches("^a"))',
-    # malformed ternary / map literals
+    # malformed ternary / map literals / field membership
     "event.code == 200 ? event.code == 1",        # missing ':'
     'event.status in {"a"}',                      # map literal needs k: v
     "event.status in {event.code: 1}",            # non-literal key
+    "event.status in 42",                         # 'in' RHS must be list/map/path
+    "event.data in event.tags",                   # needle must be a literal
 ]
 
 

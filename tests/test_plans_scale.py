@@ -117,6 +117,44 @@ def test_minhash_signature_type_is_int(spark):
     assert sigs.schema["signature"].dataType.simpleString() == "array<int>"
 
 
+def test_connected_components_round_bound_and_lineage_cut(spark):
+    """The iterative CC operator's scale contract (round-2 VERDICT #7):
+    pointer jumping converges in O(log diameter) rounds — NOT the
+    O(diameter) a plain-propagation regression would need — and each
+    round runs in roughly constant time because lineage is CUT with
+    localCheckpoint (with persist alone, Catalyst re-analysis of the
+    growing plan was measured exponential: round 3 of this very chain
+    took 36 s, round 4 never finished)."""
+    import math
+    import time
+
+    from collector_spark.operators.dedup import connected_components
+
+    # one long chain 0-1-2-...-63: diameter 63, worst case for CC
+    d = 63
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(d)], ["id_a", "id_b"]
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    cached_before = jsc.getPersistentRDDs().size()
+    stats: dict = {}
+    t0 = time.perf_counter()
+    labels = connected_components(edges, stats_into=stats)
+    got = {r.id: r.component for r in labels.collect()}
+    elapsed = time.perf_counter() - t0
+    assert got == {i: 0 for i in range(d + 1)}
+    # init round gives min(id, neighbors); each loop round ~squares reach
+    # (propagate + pointer jump) + one round to detect the fixpoint
+    bound = math.ceil(math.log2(d)) + 2
+    assert 1 <= stats["rounds"] <= bound, (stats, bound)
+    # ~7 rounds of tiny joins: seconds with lineage cut, unboundable
+    # without (generous ceiling absorbs slow host windows)
+    assert elapsed < 120, elapsed
+    # explicit caches are balanced; only this run's checkpoint blocks
+    # (freed asynchronously by the ContextCleaner) may remain
+    assert jsc.getPersistentRDDs().size() <= cached_before + stats["rounds"] + 2
+
+
 def test_events_ts_filter_pushdown(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     df = ev.filter(F.col("event_type") == "click").select("event_id")

@@ -273,6 +273,33 @@ def test_ivf_kmeans_refinement_improves_partition_quality(spark):
     assert len(got_set & exact_set) / len(exact_set) >= 0.9
 
 
+def test_ivf_auto_centroids_scale_and_balance(spark):
+    """n_centroids defaults to sqrt(N) (floor 16) via suggest_n_centroids,
+    and k-means-refined inverted lists stay balanced as the corpus grows
+    — pinned at two corpus sizes (round-2 VERDICT #8)."""
+    assert similarity.suggest_n_centroids(100) == 16
+    assert similarity.suggest_n_centroids(400) == 20
+    assert similarity.suggest_n_centroids(1600) == 40
+
+    for n in (400, 1600):
+        df, rows = _emb(spark, n=n, dim=8)
+        k = similarity.suggest_n_centroids(n)
+        planes = similarity.kmeans_centroids(df, dim=8, n_centroids=k, n_iter=2)
+        mat = np.array([r[1] for r in rows])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        assign = np.argmax(mat @ planes.T, axis=1)
+        sizes = np.bincount(assign, minlength=k)
+        # balanced enough that no list dominates probe latency: the
+        # largest inverted list stays within 4x the ideal N/k share
+        assert sizes.max() <= 4 * (n / k), (n, k, int(sizes.max()))
+
+    # the auto default kicks in end-to-end (explicit override still wins)
+    df, _ = _emb(spark, n=60, dim=8)
+    queries = df.filter(F.col("vec_id") < 2)
+    out = similarity.ivf_topk(df, queries, k=3, dim=8, corpus_rows_hint=60, n_probe=16)
+    assert out.count() > 0
+
+
 def test_embedding_near_dup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
