@@ -73,6 +73,21 @@ def exact_dup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
 _HASH_CHUNK = 1024
 
 
+def _ensure_udf_parallelism(df: DataFrame) -> DataFrame:
+    """CPU-heavy hash-UDF stages must not inherit a thin scan's partition
+    count: a single small parquet file scans as 1-2 partitions, leaving
+    the other 30 cores idle through the most expensive stage (measured:
+    the sf0.1 minhash signature pass ran on 2/32 cores). Repartition up
+    to the session's default parallelism when the input has fewer
+    partitions; a no-op at scale, where inputs arrive well-partitioned
+    and an unconditional repartition would be a gratuitous full shuffle
+    of the raw text."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _make_minhash_udf(num_hashes: int, shingle_n: int, seed: int):
     # 31-bit family (oracle._MERSENNE_P = 2^31-1): a*h+b < 2^62 fits
     # uint64, so the whole (k, n_shingles) affine matrix runs in native
@@ -121,6 +136,7 @@ def minhash_signatures(
     """(id, signature array<int> — 31-bit values) — deterministic,
     matches collector_spark.oracle.minhash_signature exactly."""
     udf = _make_minhash_udf(num_hashes, shingle_n, seed)
+    df = _ensure_udf_parallelism(df)
     return df.select(F.col(id_col), udf(F.col(text_col)).alias("signature"))
 
 
@@ -510,6 +526,7 @@ def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, simhash int64). Matches oracle.simhash64 (as signed i64)."""
+    df = _ensure_udf_parallelism(df)
     return df.select(F.col(id_col), _simhash_udf()(F.col(text_col)).alias("simhash"))
 
 
