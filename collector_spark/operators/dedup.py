@@ -539,8 +539,18 @@ def simhash_near_pairs(
     """Near-dup pairs with Hamming distance <= max_hamming.
 
     Candidates: split the 64-bit fingerprint into (max_hamming+1) bands —
-    any pair within distance d agrees on ≥1 band (pigeonhole) — join on
-    (band_idx, band_value), then verify with bit_count(xor) JVM-side.
+    any pair within distance d agrees on ≥1 band (pigeonhole) — bucket
+    on (band_idx, band_value), then verify with bit_count(xor) JVM-side.
+
+    Like minhash_lsh_pairs, candidate generation is ONE shuffle: ids +
+    fingerprints group per (band, bv) bucket and pairs are emitted
+    in-bucket (a self-join would ship the banded table through the
+    exchange twice). Carrying the 8-byte fingerprint in the bucket list
+    removes the verify re-join entirely; a degenerate 1M-row bucket
+    costs 16 MB in one aggregation row — acceptable where carrying a
+    fat payload (e.g. an embedding) would not be (see
+    similarity.embedding_near_dup_pairs, which keeps the join for that
+    reason).
     """
     bands = max_hamming + 1
     width = 64 // bands
@@ -561,20 +571,34 @@ def simhash_near_pairs(
     banded = fp.select(id_col, "simhash", F.explode(band_arr).alias("b")).select(
         id_col, "simhash", "b.band", "b.bv"
     )
-    l, r = banded.alias("l"), banded.alias("r")
+    buckets = (
+        banded.groupBy("band", "bv")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("h"))
+                )
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms")) - i - 1),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["h"].alias("h_a"),
+                    y["h"].alias("h_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bv") == F.col("r.bv"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("h_a"),
-            F.col("r.simhash").alias("h_b"),
-        )
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.h_a", "p.h_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))

@@ -414,7 +414,14 @@ def embedding_near_dup_pairs(
     (1 - arccos(c)/π)^band_bits — e.g. ~0.18 per band at c=0.95, so 8
     bands give ~80% recall and ≥0.99 at c≥0.99, while random pairs
     collide with probability ≈ 2^-band_bits per band (sub-quadratic
-    candidate volume at any N)."""
+    candidate volume at any N).
+
+    Candidate generation stays a keyed SELF-JOIN here (unlike the
+    minhash/simhash bucket-grouping): the verify payload is the full
+    embedding (dim × 4 B), and collect_list'ing it per bucket would
+    materialize a degenerate bucket (e.g. 1M boilerplate vectors ×
+    256 B = 256 MB) in ONE aggregation row — the join streams the same
+    pair volume without that single-row memory cliff."""
     banded = band_explode(df, id_col, vec_col, dim, bands, band_bits, seed)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
