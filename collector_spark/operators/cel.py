@@ -18,13 +18,18 @@ Supported CEL subset (everything the reference's tests exercise, plus
 common string predicates and arithmetic): ``== != < <= > >= && || !``,
 ``+ - * / %`` (unary minus included; truncated remainder matching
 Spark/DuckDB), parentheses, ``has(event.a.b)``,
-``event.list.exists(x, <expr over x>)`` and its dual
-``event.list.all(x, <expr over x>)``, the ternary ``cond ? a : b``
-(boolean branches; a cond that errors or is null selects the else
-branch on every backend), ``in [..]`` list literals, ``in {..}``
-map literals (key membership, like cel-go), ``<literal> in
-event.some.list`` field membership,
-``.startsWith/.endsWith/.contains/.matches(str)``,
+``event.list.exists(x, <expr over x>)``, its dual
+``event.list.all(x, <expr over x>)``, ``exists_one(x, <expr>)``
+(exactly one element matches), the list-valued macros
+``filter(x, <pred>)`` and ``map(x, <arith over x>)`` (usable under
+``.size()`` or as the RHS of ``in`` — a list has no boolean reading, so
+anywhere else is a config-time error, like cel-go's type checker), the
+ternary ``cond ? a : b`` (boolean branches; a cond that errors or is
+null selects the else branch on every backend), ``in [..]`` list
+literals, ``in {..}`` map literals (key membership, like cel-go),
+``<literal> in event.some.list`` field membership,
+``.startsWith/.endsWith/.contains/.matches(str)`` (also legal on the
+bound variable inside exists/all/exists_one/filter bodies),
 ``.size()``, int/float/string/bool/null literals. Anything else raises
 ``CelSyntaxError`` at build time (mirrors validateRule,
 engine.go:88-106).
@@ -154,6 +159,38 @@ class ForAll:
 
 
 @dataclass
+class ExistsOne:
+    """``list.exists_one(x, body)`` — exactly one element matches
+    (cel-go macro). Compiled as size(filter) == 1 on every backend."""
+
+    path: Path
+    var: str
+    body: object
+
+
+@dataclass
+class ListFilter:
+    """``list.filter(x, body)`` — list-valued cel-go macro. Only usable
+    inside ``.size()`` or as the RHS of ``in`` (a list has no boolean
+    reading; anything else is rejected at config time)."""
+
+    path: Path
+    var: str
+    body: object
+
+
+@dataclass
+class ListMap:
+    """``list.map(x, expr)`` — list-valued cel-go macro; ``expr`` is
+    arithmetic over the bound variable (numeric elements). Same usage
+    restriction as ListFilter."""
+
+    path: Path
+    var: str
+    expr: object
+
+
+@dataclass
 class Ternary:
     """``cond ? then : else`` with boolean branches. A cond that errors
     or is null selects the else branch — the same COALESCE(..., FALSE)
@@ -167,8 +204,8 @@ class Ternary:
 
 @dataclass
 class StrFn:
-    fn: str  # startsWith | endsWith | contains | size
-    path: Path
+    fn: str  # startsWith | endsWith | contains | matches | size
+    path: object  # Path | ListFilter | ListMap (list exprs: size() only)
     arg: object | None
 
 
@@ -181,10 +218,12 @@ class InList:
 @dataclass
 class InField:
     """``<literal> in event.some.list`` — membership over a LIST FIELD
-    (cel-go's `in` over a dynamic list), vs InList's literal collection."""
+    (cel-go's `in` over a dynamic list), vs InList's literal collection.
+    ``path`` may also be a ListFilter/ListMap expression
+    (``3 in event.ns.map(x, x * 3)``)."""
 
     needle: Lit
-    path: Path
+    path: object  # Path | ListFilter | ListMap
 
 
 class _Parser:
@@ -249,15 +288,29 @@ class _Parser:
             if self.peek()[1] == "[":
                 return InList(node, self.parse_list_literal())
             # '<lit> in event.some.list' — membership over a list field
+            # (or over a filter()/map() list expression)
             rhs = self.parse_unary()
-            if not isinstance(rhs, Path):
+            if not isinstance(rhs, (Path, ListFilter, ListMap)):
                 raise CelSyntaxError(
-                    "'in' needs a [..] / {..} literal or a list field path"
+                    "'in' needs a [..] / {..} literal, a list field path, "
+                    "or a filter()/map() expression"
                 )
             if not isinstance(node, Lit) or isinstance(node.value, (bool, type(None))):
                 raise CelSyntaxError(
                     "'in <field>' needs a string/number literal needle"
                 )
+            needle_num = isinstance(node.value, (int, float))
+            if isinstance(rhs, ListMap) and not needle_num:
+                raise CelSyntaxError(
+                    "'in <map()>' needs a numeric needle (map() elements are numeric)"
+                )
+            if isinstance(rhs, ListFilter):
+                elem_num = _elem_type(rhs.body) == "double"
+                if needle_num != elem_num:
+                    raise CelSyntaxError(
+                        "'in <filter()>' needle type must match the element "
+                        "type the filter body implies"
+                    )
             return InField(node, rhs)
         return node
 
@@ -381,17 +434,38 @@ class _Parser:
             if not base.parts:
                 raise CelSyntaxError(f"unknown function {method!r}")
             self.next()  # (
-            if method in ("exists", "all"):
+            if method in ("exists", "all", "exists_one", "filter", "map"):
                 kind, var = self.next()
                 if kind != "ident":
                     raise CelSyntaxError(f"{method}() requires a variable name")
                 self.expect(",")
                 body = self.parse_or()
                 self.expect(")")
-                _validate_exists_body(body, var)
-                if method == "all":
-                    return ForAll(base, var, body)
-                return Exists(base, var, body)
+                if method == "map":
+                    _validate_map_expr(body, var)
+                    node = ListMap(base, var, body)
+                else:
+                    _validate_exists_body(body, var)
+                    if method == "all":
+                        return ForAll(base, var, body)
+                    if method == "exists_one":
+                        return ExistsOne(base, var, body)
+                    if method == "exists":
+                        return Exists(base, var, body)
+                    node = ListFilter(base, var, body)
+                # list-valued macros are only usable inside .size() or as
+                # the RHS of 'in' — a list has no boolean reading
+                if self.peek()[1] == ".":
+                    self.next()
+                    kind2, m2 = self.next()
+                    if m2 != "size":
+                        raise CelSyntaxError(
+                            f"only .size() may chain onto {method}(); got {m2!r}"
+                        )
+                    self.expect("(")
+                    self.expect(")")
+                    return StrFn("size", node, None)
+                return node
             if method in ("startsWith", "endsWith", "contains", "matches"):
                 arg = self.parse_unary()
                 if not isinstance(arg, Lit) or not isinstance(arg.value, str):
@@ -437,10 +511,12 @@ def _validate_portable_regex(pattern: str) -> None:
 
 
 def _validate_exists_body(node, var: str) -> None:
-    """exists() bodies are limited to what ALL THREE backends compile
-    (comparisons of the bound var against literals, combined with
-    && / ||) — rejected at config time instead of failing late on one
-    backend and silently non-matching on another."""
+    """exists()/all()/exists_one()/filter() bodies are limited to what
+    ALL THREE backends compile — comparisons of the bound var against
+    literals and string predicates on the bound var
+    (startsWith/endsWith/contains/matches), combined with && / || —
+    rejected at config time instead of failing late on one backend and
+    silently non-matching on another."""
     if isinstance(node, (And, Or)):
         _validate_exists_body(node.left, var)
         _validate_exists_body(node.right, var)
@@ -455,13 +531,75 @@ def _validate_exists_body(node, var: str) -> None:
                 "exists() body must compare the bound variable to a literal"
             )
         return
+    if (
+        isinstance(node, StrFn)
+        and node.fn in ("startsWith", "endsWith", "contains", "matches")
+        and isinstance(node.path, Path)
+        and node.path.parts == (var,)
+    ):
+        return  # regex portability already validated at parse time
     raise CelSyntaxError(f"unsupported exists() body: {node!r}")
+
+
+def _validate_map_expr(node, var: str) -> None:
+    """map() transform expressions are limited to arithmetic over the
+    bound variable and numeric literals — the subset whose element-wise
+    semantics are identical across Spark transform(), DuckDB
+    list_transform(), and Python (config-time rejection otherwise)."""
+    if isinstance(node, Path) and node.parts == (var,):
+        return
+    if (
+        isinstance(node, Lit)
+        and isinstance(node.value, (int, float))
+        and not isinstance(node.value, bool)
+    ):
+        return
+    if isinstance(node, Arith):
+        _validate_map_expr(node.left, var)
+        _validate_map_expr(node.right, var)
+        return
+    raise CelSyntaxError(
+        "map() expression must be arithmetic over the bound variable "
+        "and numeric literals"
+    )
+
+
+def _elem_type(body, sql: bool = False) -> str:
+    """List element type implied by the literals a lambda body compares
+    against (numeric literal anywhere → numeric elements)."""
+    for lit in _body_literals(body):
+        if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+            return "DOUBLE" if sql else "double"
+    return "VARCHAR" if sql else "string"
+
+
+def _reject_bare_list_exprs(node) -> None:
+    """filter()/map() are list-valued — legal only inside .size() or as
+    the RHS of 'in' (where they sit in non-boolean AST fields this walk
+    does not visit). Anywhere a boolean is needed they are a config-time
+    error, matching cel-go's type checker."""
+    if isinstance(node, (ListFilter, ListMap)):
+        raise CelSyntaxError(
+            "filter()/map() is list-valued; wrap it in .size() or use it "
+            "as the right side of 'in'"
+        )
+    if isinstance(node, (And, Or)):
+        _reject_bare_list_exprs(node.left)
+        _reject_bare_list_exprs(node.right)
+    elif isinstance(node, Not):
+        _reject_bare_list_exprs(node.operand)
+    elif isinstance(node, Ternary):
+        _reject_bare_list_exprs(node.cond)
+        _reject_bare_list_exprs(node.then)
+        _reject_bare_list_exprs(node.els)
 
 
 def parse_rule(rule: str):
     """Parse a CEL-subset rule → AST. Raises CelSyntaxError (config-time
     rejection, mirroring validateRule engine.go:88-106)."""
-    return _Parser(rule).parse()
+    ast = _Parser(rule).parse()
+    _reject_bare_list_exprs(ast)
+    return ast
 
 
 # ---------------------------------------------------------------------------
@@ -610,7 +748,9 @@ class ColumnCompiler:
                 and not isinstance(node.needle.value, bool)
                 else "string"
             )
-            if self.mode == "json":
+            if isinstance(node.path, (ListFilter, ListMap)):
+                arr = self._list_expr(node.path)
+            elif self.mode == "json":
                 arr = F.from_json(self._raw_path(node.path), f"array<{elem}>")
             else:
                 arr = self._raw_path(node.path)
@@ -629,6 +769,11 @@ class ColumnCompiler:
             return self._exists(node)
         if isinstance(node, ForAll):
             return self._forall(node)
+        if isinstance(node, ExistsOne):
+            flt = ListFilter(node.path, node.var, node.body)
+            return F.coalesce(
+                F.size(self._list_expr(flt)) == F.lit(1), F.lit(False)
+            )
         if isinstance(node, Ternary):
             cond = F.coalesce(self.compile(node.cond), F.lit(False))
             return F.when(cond, self.compile(node.then)).otherwise(
@@ -640,6 +785,10 @@ class ColumnCompiler:
         raise CelSyntaxError(f"cannot compile node {node!r}")
 
     def _strfn(self, node: StrFn) -> Column:
+        if isinstance(node.path, (ListFilter, ListMap)):
+            if node.fn != "size":
+                raise CelSyntaxError(f"{node.fn}() not supported on list expressions")
+            return F.size(self._list_expr(node.path))
         col = self._raw_path(node.path)
         if node.fn == "startsWith":
             return col.startswith(node.arg.value)
@@ -656,18 +805,29 @@ class ColumnCompiler:
             return F.length(col)
         raise CelSyntaxError(node.fn)
 
+    def _list_arr(self, path: Path, elem_type: str) -> Column:
+        """The list field as a typed array column (json mode parses)."""
+        if self.mode == "json":
+            return F.from_json(self._raw_path(path), f"array<{elem_type}>")
+        return self._raw_path(path)
+
+    def _list_expr(self, node) -> Column:
+        """Compile a list-valued macro (filter()/map()) to an array Column."""
+        if isinstance(node, ListFilter):
+            arr = self._list_arr(node.path, _elem_type(node.body))
+            return F.filter(
+                arr, lambda x: _compile_lambda_body(node.body, node.var, x, self)
+            )
+        if isinstance(node, ListMap):
+            arr = self._list_arr(node.path, "double")
+            return F.transform(
+                arr, lambda x: _map_expr_column(node.expr, node.var, x)
+            )
+        raise CelSyntaxError(f"not a list expression: {node!r}")
+
     def _exists(self, node: Exists) -> Column:
         # element type inferred from literals in the body
-        elem_type = "string"
-        for lit in _body_literals(node.body):
-            if isinstance(lit, (int, float)) and not isinstance(lit, bool):
-                elem_type = "double"
-        if self.mode == "json":
-            arr = F.from_json(
-                self._raw_path(node.path), f"array<{elem_type}>"
-            )
-        else:
-            arr = self._raw_path(node.path)
+        arr = self._list_arr(node.path, _elem_type(node.body))
         var = node.var
 
         def body_fn(x: Column) -> Column:
@@ -676,14 +836,7 @@ class ColumnCompiler:
         return F.coalesce(F.exists(arr, body_fn), F.lit(False))
 
     def _forall(self, node: ForAll) -> Column:
-        elem_type = "string"
-        for lit in _body_literals(node.body):
-            if isinstance(lit, (int, float)) and not isinstance(lit, bool):
-                elem_type = "double"
-        if self.mode == "json":
-            arr = F.from_json(self._raw_path(node.path), f"array<{elem_type}>")
-        else:
-            arr = self._raw_path(node.path)
+        arr = self._list_arr(node.path, _elem_type(node.body))
         var = node.var
 
         def body_fn(x: Column) -> Column:
@@ -729,14 +882,42 @@ def _compile_lambda_body(node, var: str, x: Column, outer: ColumnCompiler) -> Co
         return _compile_lambda_body(node.left, var, x, outer) & _compile_lambda_body(
             node.right, var, x, outer
         )
-    if isinstance(node, StrFn) and node.path.parts == (var,):
+    if (
+        isinstance(node, StrFn)
+        and isinstance(node.path, Path)
+        and node.path.parts == (var,)
+    ):
         if node.fn == "startsWith":
             return x.startswith(node.arg.value)
         if node.fn == "endsWith":
             return x.endswith(node.arg.value)
         if node.fn == "contains":
             return x.contains(node.arg.value)
+        if node.fn == "matches":
+            return x.rlike(node.arg.value)
     raise CelSyntaxError("unsupported exists() body")
+
+
+def _map_expr_column(node, var: str, x: Column) -> Column:
+    """Compile a map() transform expression with ``var`` bound to x."""
+    if isinstance(node, Path) and node.parts == (var,):
+        return x
+    if isinstance(node, Lit):
+        return F.lit(node.value)
+    if isinstance(node, Arith):
+        left = _map_expr_column(node.left, var, x)
+        right = _map_expr_column(node.right, var, x)
+        if node.op == "+":
+            return left + right
+        if node.op == "-":
+            return left - right
+        if node.op == "*":
+            return left * right
+        if node.op == "/":
+            return left / right
+        if node.op == "%":
+            return left % right
+    raise CelSyntaxError(f"unsupported map() expression {node!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -790,7 +971,11 @@ class SqlCompiler:
         if isinstance(node, And):
             return f"({self.compile(node.left)} AND {self.compile(node.right)})"
         if isinstance(node, Not):
-            return f"(NOT COALESCE({self.compile(node.operand)}, FALSE))"
+            # NULL must propagate (NOT NULL → NULL → non-match at the
+            # rule-level COALESCE) — coalescing here would turn an
+            # errored operand into a MATCH, diverging from the Column
+            # and Python backends' error-as-non-match convention
+            return f"(NOT {self.compile(node.operand)})"
         if isinstance(node, Cmp):
             like = (
                 node.right.value
@@ -826,7 +1011,9 @@ class SqlCompiler:
                 node.needle.value, bool
             )
             elem = "DOUBLE" if is_num else "VARCHAR"
-            if self.mode == "json":
+            if isinstance(node.path, (ListFilter, ListMap)):
+                arr = self._sql_list_expr(node.path)
+            elif self.mode == "json":
                 arr = (
                     f"TRY_CAST(json_extract({self.value_col}, "
                     f"'$.{'.'.join(node.path.parts[1:])}') AS {elem}[])"
@@ -838,6 +1025,8 @@ class SqlCompiler:
             )
             return f"COALESCE(list_contains({arr}, {needle}), FALSE)"
         if isinstance(node, StrFn):
+            if node.fn == "size":
+                return self._sql_size(node)
             raw = self._raw_path(node.path)
             if node.fn == "startsWith":
                 return f"starts_with({raw}, {self._lit(node.arg.value)})"
@@ -847,36 +1036,14 @@ class SqlCompiler:
                 return f"contains({raw}, {self._lit(node.arg.value)})"
             if node.fn == "matches":
                 return f"regexp_matches({raw}, {self._lit(node.arg.value)})"
-            if node.fn == "size":
-                return f"length({raw})"
         if isinstance(node, Exists):
-            elem_type = "VARCHAR"
-            for lit in _body_literals(node.body):
-                if isinstance(lit, (int, float)) and not isinstance(lit, bool):
-                    elem_type = "DOUBLE"
-            if self.mode == "json":
-                arr = (
-                    f"TRY_CAST(json_extract({self.value_col}, "
-                    f"'$.{'.'.join(node.path.parts[1:])}') AS {elem_type}[])"
-                )
-            else:
-                arr = self._raw_path(node.path)
+            arr = self._sql_list_arr(node.path, _elem_type(node.body, sql=True))
             body = self._sql_lambda_body(node.body, node.var)
             return (
                 f"COALESCE(len(list_filter({arr}, {node.var} -> {body})) > 0, FALSE)"
             )
         if isinstance(node, ForAll):
-            elem_type = "VARCHAR"
-            for lit in _body_literals(node.body):
-                if isinstance(lit, (int, float)) and not isinstance(lit, bool):
-                    elem_type = "DOUBLE"
-            if self.mode == "json":
-                arr = (
-                    f"TRY_CAST(json_extract({self.value_col}, "
-                    f"'$.{'.'.join(node.path.parts[1:])}') AS {elem_type}[])"
-                )
-            else:
-                arr = self._raw_path(node.path)
+            arr = self._sql_list_arr(node.path, _elem_type(node.body, sql=True))
             body = self._sql_lambda_body(node.body, node.var)
             # an element whose body is NULL counts as a violation — same
             # outcome Spark's forall gives (NULL → COALESCE FALSE)
@@ -884,6 +1051,9 @@ class SqlCompiler:
                 f"COALESCE(len(list_filter({arr}, "
                 f"{node.var} -> NOT COALESCE({body}, FALSE))) = 0, FALSE)"
             )
+        if isinstance(node, ExistsOne):
+            flt = ListFilter(node.path, node.var, node.body)
+            return f"COALESCE(len({self._sql_list_expr(flt)}) = 1, FALSE)"
         if isinstance(node, Ternary):
             cond = self.compile(node.cond)
             return (
@@ -899,7 +1069,7 @@ class SqlCompiler:
         if isinstance(node, Lit):
             return self._lit(node.value)
         if isinstance(node, StrFn) and node.fn == "size":
-            return f"length({self._raw_path(node.path)})"
+            return self._sql_size(node)
         if isinstance(node, Arith):
             return self._arith_sql(node)
         raise CelSyntaxError(f"unsupported operand {node!r}")
@@ -915,10 +1085,49 @@ class SqlCompiler:
             if isinstance(n, Path):
                 return self._typed_path(n, 1.0)
             if isinstance(n, StrFn) and n.fn == "size":
-                return f"length({self._raw_path(n.path)})"
+                return self._sql_size(n)
             raise CelSyntaxError(f"unsupported arithmetic operand {n!r}")
 
         return f"({num(node.left)} {node.op} {num(node.right)})"
+
+    def _sql_size(self, node: StrFn) -> str:
+        """size() — list length over a filter()/map() expression, string
+        length over a plain path (mirrors ColumnCompiler._strfn)."""
+        if isinstance(node.path, (ListFilter, ListMap)):
+            return f"len({self._sql_list_expr(node.path)})"
+        return f"length({self._raw_path(node.path)})"
+
+    def _sql_list_arr(self, path: Path, elem_type: str) -> str:
+        """The list field as a typed DuckDB array (json mode parses)."""
+        if self.mode == "json":
+            return (
+                f"TRY_CAST(json_extract({self.value_col}, "
+                f"'$.{'.'.join(path.parts[1:])}') AS {elem_type}[])"
+            )
+        return self._raw_path(path)
+
+    def _sql_list_expr(self, node) -> str:
+        """Compile a list-valued macro (filter()/map()) to a DuckDB list."""
+        if isinstance(node, ListFilter):
+            arr = self._sql_list_arr(node.path, _elem_type(node.body, sql=True))
+            body = self._sql_lambda_body(node.body, node.var)
+            return f"list_filter({arr}, {node.var} -> {body})"
+        if isinstance(node, ListMap):
+            arr = self._sql_list_arr(node.path, "DOUBLE")
+            expr = self._sql_map_expr(node.expr, node.var)
+            return f"list_transform({arr}, {node.var} -> {expr})"
+        raise CelSyntaxError(f"not a list expression: {node!r}")
+
+    def _sql_map_expr(self, node, var: str) -> str:
+        if isinstance(node, Path) and node.parts == (var,):
+            return var
+        if isinstance(node, Lit):
+            return self._lit(node.value)
+        if isinstance(node, Arith):
+            left = self._sql_map_expr(node.left, var)
+            right = self._sql_map_expr(node.right, var)
+            return f"({left} {node.op} {right})"
+        raise CelSyntaxError(f"unsupported map() expression {node!r}")
 
     def _sql_lambda_body(self, node, var: str) -> str:
         if isinstance(node, Cmp):
@@ -934,6 +1143,20 @@ class SqlCompiler:
             return f"({self._sql_lambda_body(node.left, var)} OR {self._sql_lambda_body(node.right, var)})"
         if isinstance(node, And):
             return f"({self._sql_lambda_body(node.left, var)} AND {self._sql_lambda_body(node.right, var)})"
+        if (
+            isinstance(node, StrFn)
+            and isinstance(node.path, Path)
+            and node.path.parts == (var,)
+        ):
+            lit = self._lit(node.arg.value)
+            if node.fn == "startsWith":
+                return f"starts_with({var}, {lit})"
+            if node.fn == "endsWith":
+                return f"ends_with({var}, {lit})"
+            if node.fn == "contains":
+                return f"contains({var}, {lit})"
+            if node.fn == "matches":
+                return f"regexp_matches({var}, {lit})"
         raise CelSyntaxError("unsupported exists() body")
 
 
@@ -1020,7 +1243,10 @@ def eval_python(node, event: dict):
         val = eval_python(node.operand, event)
         return val in node.items
     if isinstance(node, InField):
-        arr = _py_resolve(event, node.path)
+        if isinstance(node.path, (ListFilter, ListMap)):
+            arr = _py_list_expr(node.path, event)
+        else:
+            arr = _py_resolve(event, node.path)
         if not isinstance(arr, list):
             raise CelEvalError("'in' field is not a list")
         needle = node.needle.value
@@ -1035,6 +1261,10 @@ def eval_python(node, event: dict):
             )
         return needle in arr
     if isinstance(node, StrFn):
+        if isinstance(node.path, (ListFilter, ListMap)):
+            if node.fn != "size":
+                raise CelEvalError(f"{node.fn}() on a list expression")
+            return len(_py_list_expr(node.path, event))
         val = _py_resolve(event, node.path)
         if node.fn == "size":
             return len(val)
@@ -1076,6 +1306,9 @@ def eval_python(node, event: dict):
             if not ok:
                 return False
         return True  # vacuously true over [], like cel-go
+    if isinstance(node, ExistsOne):
+        flt = ListFilter(node.path, node.var, node.body)
+        return len(_py_list_expr(flt, event)) == 1
     if isinstance(node, Ternary):
         try:
             cond = eval_python(node.cond, event) is True
@@ -1083,6 +1316,62 @@ def eval_python(node, event: dict):
             cond = False  # error/null cond selects the else branch
         return eval_python(node.then if cond else node.els, event)
     raise CelEvalError(f"cannot evaluate {node!r}")
+
+
+def _py_list_expr(node, event: dict) -> list:
+    """Evaluate a list-valued macro (filter()/map()) against the event.
+
+    filter(): elements whose body errors are excluded — same outcome as
+    Spark F.filter (NULL body drops the element) and DuckDB list_filter.
+    map(): non-numeric elements yield None (mirrors Spark's array<double>
+    cast producing NULL), so size() stays backend-consistent."""
+    arr = _py_resolve(event, node.path)
+    if not isinstance(arr, list):
+        raise CelEvalError("filter()/map() on non-list")
+    if isinstance(node, ListFilter):
+        rebound = _rebind(node.body, node.var)
+        out = []
+        for item in arr:
+            try:
+                if eval_python(rebound, {**event, node.var: item}) is True:
+                    out.append(item)
+            except CelEvalError:
+                continue
+        return out
+    out = []
+    for item in arr:
+        if not isinstance(item, (int, float)) or isinstance(item, bool):
+            out.append(None)
+            continue
+        out.append(_py_map_eval(node.expr, node.var, float(item)))
+    return out
+
+
+def _py_map_eval(node, var: str, x: float):
+    import math
+
+    if isinstance(node, Path) and node.parts == (var,):
+        return x
+    if isinstance(node, Lit):
+        return float(node.value)
+    if isinstance(node, Arith):
+        left = _py_map_eval(node.left, var, x)
+        right = _py_map_eval(node.right, var, x)
+        if node.op == "+":
+            return left + right
+        if node.op == "-":
+            return left - right
+        if node.op == "*":
+            return left * right
+        if node.op == "/":
+            if right == 0:
+                raise CelEvalError("division by zero")
+            return left / right
+        if node.op == "%":
+            if right == 0:
+                raise CelEvalError("modulo by zero")
+            return math.fmod(left, right)
+    raise CelEvalError(f"unsupported map() expression {node!r}")
 
 
 def _rebind(node, var: str):
@@ -1098,6 +1387,8 @@ def _rebind(node, var: str):
         return cls(_rebind(node.left, var), _rebind(node.right, var))
     if isinstance(node, Not):
         return Not(_rebind(node.operand, var))
+    if isinstance(node, StrFn) and isinstance(node.path, Path):
+        return StrFn(node.fn, _rebind(node.path, var), node.arg)
     return node
 
 

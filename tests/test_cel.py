@@ -40,6 +40,10 @@ RULE15 = 'event.status in {"success": 1, "pending": 2}'
 # membership over a LIST FIELD (cel-go 'in' over dynamic lists);
 # events 2/3 lack data.errors → non-match on every backend
 RULE16 = '"invalid scope" in event.data.errors'
+# negation over an errored operand: event 3 has no status, so the inner
+# == is an eval error and the whole rule is a NON-match (engine.go:20-29)
+# — NULL must propagate through NOT on every backend
+RULE17 = '!(event.status == "zzz")'
 
 # expected per-event match for each single rule (engine_test.go:26-71)
 TRUTH = {
@@ -59,6 +63,7 @@ TRUTH = {
     RULE14: [True, True, False, True],
     RULE15: [False, True, False, False],
     RULE16: [True, False, False, False],
+    RULE17: [True, True, False, True],
 }
 
 INVALID_RULES = [
@@ -70,16 +75,79 @@ INVALID_RULES = [
     'event.status.matches("(?=inv)")',
     'event.status.matches("\\\\p{Lower}+")',
     # exists()/all() bodies beyond the all-backends subset fail at config time
-    'event.tags.exists(t, t.matches("^a"))',
-    'event.tags.exists(t, t.startsWith("a"))',
-    'event.tags.all(t, t.matches("^a"))',
+    'event.tags.exists(t, t.matches("(?=a)"))',   # non-portable regex in body
+    "event.tags.exists(t, has(t))",               # has() not a body predicate
     # malformed ternary / map literals / field membership
     "event.code == 200 ? event.code == 1",        # missing ':'
     'event.status in {"a"}',                      # map literal needs k: v
     "event.status in {event.code: 1}",            # non-literal key
     "event.status in 42",                         # 'in' RHS must be list/map/path
     "event.data in event.tags",                   # needle must be a literal
+    # list-valued macros are legal only under .size() or as 'in' RHS
+    'event.tags.filter(t, t == "a")',             # bare list expr as a rule
+    'event.code == 1 && event.nums.map(n, n * 2)',  # bare in boolean position
+    'event.tags.filter(t, t == "a").contains("b")',  # only .size() may chain
+    '"a" in event.nums.map(n, n * 2)',            # map() needs numeric needle
+    '3 in event.tags.filter(t, t == "a")',        # needle/element type mismatch
+    'event.tags.map(t, t.startsWith("a"))',       # map() expr must be arithmetic
 ]
+
+# cel-go macro extensions: exists_one / filter / map (list-valued macros
+# usable under .size() or as the RHS of 'in'), and string predicates
+# (startsWith/endsWith/contains/matches) inside lambda bodies.
+MACRO_EVENTS = [
+    '{"tags": ["alpha", "beta", "ant"], "nums": [1, 2, 3]}',
+    '{"tags": ["beta"], "nums": [10, 20]}',
+    '{"tags": [], "nums": []}',
+    '{"code": 1}',
+]
+
+MACRO_TRUTH = {
+    'event.tags.exists(t, t.startsWith("a"))': [True, False, False, False],
+    'event.tags.exists_one(t, t.startsWith("al"))': [True, False, False, False],
+    # two of e0's tags start with "a" -> exists_one is False there
+    'event.tags.exists_one(t, t.startsWith("a"))': [False, False, False, False],
+    'event.tags.filter(t, t.contains("a")).size() == 3': [True, False, False, False],
+    'event.tags.all(t, t.contains("a"))': [True, True, True, False],
+    'event.tags.exists(t, t.matches("^a.*t$"))': [True, False, False, False],
+    "6 in event.nums.map(n, n * 2)": [True, False, False, False],
+    "event.nums.map(n, n * 10 + 5).size() == 3": [True, False, False, False],
+    "2 in event.nums.filter(n, n < 3)": [True, False, False, False],
+    'event.nums.filter(n, n >= 10).size() > 0 ? event.tags.exists_one(t, t == "beta") : event.code == 7': [
+        False, True, False, False,
+    ],
+}
+
+
+@pytest.mark.parametrize("rule", list(MACRO_TRUTH))
+def test_macro_python_oracle(rule):
+    ast = C.parse_rule(rule)
+    got = [C.rule_detection_python(e, [ast]) for e in MACRO_EVENTS]
+    assert got == MACRO_TRUTH[rule], rule
+
+
+@pytest.mark.parametrize("rule", list(MACRO_TRUTH))
+def test_macro_spark_backend(spark, rule):
+    df = spark.createDataFrame([(e,) for e in MACRO_EVENTS], ["value"])
+    filt = C.CelFilter(rules=[rule], action="accept", mode="json")
+    kept = {r.value for r in filt.apply(df).collect()}
+    expected = {e for e, m in zip(MACRO_EVENTS, MACRO_TRUTH[rule]) if m}
+    assert kept == expected, rule
+
+
+@pytest.mark.parametrize("rule", list(MACRO_TRUTH))
+def test_macro_duckdb_backend(rule):
+    filt = C.CelFilter(rules=[rule], action="accept", mode="json")
+    pred = filt.sql_predicate()
+    con = duckdb.connect()
+    got = []
+    for e in MACRO_EVENTS:
+        escaped = e.replace("'", "''")
+        val = con.execute(
+            f"select {pred.replace('value', f'''CAST('{escaped}' AS VARCHAR)''')}"
+        ).fetchone()[0]
+        got.append(bool(val))
+    assert got == MACRO_TRUTH[rule], rule
 
 
 @pytest.mark.parametrize("rule", list(TRUTH))
