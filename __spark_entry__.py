@@ -1429,6 +1429,155 @@ GROUP BY n_name
 
 
 # ---------------------------------------------------------------------------
+# 34. CEL macros (cel-go exists_one / filter / map — engine.go:39-41 embeds
+#     the full cel-go env, so these are legal in reference rules)
+# ---------------------------------------------------------------------------
+
+# exercises the three list-valued macro forms: filter().size(),
+# exists_one(), and `lit in map()` — over a numeric list column
+_CEL_MACRO_RULE = (
+    "event.nums.filter(x, x >= 50.0).size() == 2"
+    " || event.nums.exists_one(x, x > 300.0)"
+    " || 0.0 in event.nums.map(n, n % 2.0)"
+)
+
+
+def q_cel_filter_macros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cel-go macro surface over a numeric list column (columns mode):
+    keep events where both k and value are >= 50, or exactly one of them
+    exceeds 300, or either is an even number."""
+    from collector_spark.operators.cel import CelFilter
+
+    ev = _events_with_k(spark, sf_dir).withColumn(
+        "nums", F.array(F.coalesce(F.col("k"), F.lit(-1.0)), F.col("value"))
+    )
+    filt = CelFilter(rules=[_CEL_MACRO_RULE], action="accept", mode="columns")
+    return filt.apply(ev).select("event_id")
+
+
+_SQL_CEL_MACROS = """
+SELECT event_id FROM (
+  SELECT event_id,
+         [COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), -1.0),
+          value] AS nums
+  FROM events
+)
+WHERE COALESCE(len(list_filter(nums, x -> x >= 50.0)) = 2, FALSE)
+   OR COALESCE(len(list_filter(nums, x -> x > 300.0)) = 1, FALSE)
+   OR COALESCE(list_contains(list_transform(nums, n -> n % 2.0), 0.0), FALSE)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 35-37. More relational shapes: top-k join agg (TPC-H Q3), EXISTS with a
+# non-equi condition (Q4), correlated-aggregate decorrelation (Q17)
+# ---------------------------------------------------------------------------
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 open orders by revenue for one market
+    segment. Plan shape for scale: the filtered customer dim broadcasts;
+    the only shuffle is lineitem⋈orders on the order key + the top-k."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    ord_c = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        li.join(ord_c, li.l_orderkey == ord_c.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_SQL_TOP_REVENUE = """
+SELECT l_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one lineitem shipped >60 days
+    after the order date, counted per priority. The non-equi predicate
+    rides on the equi semi-join key — one shuffle on the order key."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_SQL_LATE_SHIPMENT = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-half-average-quantity
+    lineitems. The correlated scalar subquery decorrelates into a
+    per-part aggregate re-joined on l_partkey — both sides shuffle on
+    the same key, so the join is co-partitioned.
+
+    Exactness note: l_quantity is integer-valued, so AVG is
+    order-independent (exact double sums below 2^53) and the `<`
+    boundary is replayable; only the final price SUM needs rounding."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    small = li.join(part_avg, "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_limit")
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+_SQL_SMALL_QTY = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN (SELECT l_partkey AS pk, 0.5 * AVG(l_quantity) AS qty_limit
+      FROM lineitem GROUP BY l_partkey) p
+  ON l.l_partkey = p.pk
+WHERE l.l_quantity < p.qty_limit
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1485,6 +1634,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "multi_join_agg": q_multi_join_agg,
+        "cel_filter_macros": q_cel_filter_macros,
+        "top_revenue_orders": q_top_revenue_orders,
+        "late_shipment_priority": q_late_shipment_priority,
+        "small_qty_revenue": q_small_qty_revenue,
     }
 
 
@@ -1543,4 +1696,8 @@ def oracle_sql() -> dict[str, str]:
         "semi_join": _SQL_SEMI,
         "anti_join": _SQL_ANTI,
         "multi_join_agg": _SQL_MULTI_JOIN,
+        "cel_filter_macros": _SQL_CEL_MACROS,
+        "top_revenue_orders": _SQL_TOP_REVENUE,
+        "late_shipment_priority": _SQL_LATE_SHIPMENT,
+        "small_qty_revenue": _SQL_SMALL_QTY,
     }

@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "cube_counts",
     "running_total",
     "multimodal_features",
+    "top_revenue_orders",
+    "late_shipment_priority",
+    "small_qty_revenue",
 ]
 
 

@@ -162,3 +162,29 @@ def test_events_ts_filter_pushdown(spark, sf_dir):
     assert any("event_type" in f for f in pf), pf
     cols = scan_read_schema(df)
     assert "props" not in cols, cols
+
+
+def test_top_revenue_orders_plan_shape(spark):
+    """Q3 shape: the filtered customer dim must broadcast (it is the
+    small side at every sf) and the segment/date filters must reach the
+    parquet scans — the properties that keep it one shuffle at 100 TB."""
+    from __spark_entry__ import q_top_revenue_orders
+    from collector_spark.plans.inspect import executed_plan
+
+    df = q_top_revenue_orders(spark, "/root/testdata/sf0.001")
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    pf = pushed_filters(df)
+    assert any("c_mktsegment" in f for f in pf), pf
+    assert any("l_shipdate" in f for f in pf), pf
+
+
+def test_small_qty_revenue_single_key_shuffle(spark):
+    """Q17 decorrelation: lineitem and its per-part aggregate join on
+    l_partkey — the scan must prune to the 3 needed columns so the
+    shuffle carries no dead weight."""
+    from __spark_entry__ import q_small_qty_revenue
+
+    df = q_small_qty_revenue(spark, "/root/testdata/sf0.001")
+    cols = scan_read_schema(df)
+    assert set(cols) <= {"l_partkey", "l_quantity", "l_extendedprice"}, cols
