@@ -1578,6 +1578,190 @@ WHERE l.l_quantity < p.qty_limit
 
 
 # ---------------------------------------------------------------------------
+# Corpus-hygiene training-data ops (operators/corpus.py) — decontamination,
+# duplication profiling, repetition filter, vocab histogram, hash split
+# ---------------------------------------------------------------------------
+
+_BENCH_SOURCES = ("src0", "src1")
+
+
+def _duck_ngrams(n: int, where: str = "TRUE", distinct: bool = True) -> str:
+    """DuckDB CTE body producing (doc_id, source, g) word n-grams with the
+    same tokenize-then-slide contract as corpus.word_ngrams_exploded."""
+    d = "DISTINCT " if distinct else ""
+    return f"""
+  SELECT {d}doc_id, source, array_to_string(t[i:i+{n - 1}], ' ') AS g
+  FROM (SELECT doc_id, source, string_split(trim(text), ' ') AS t
+        FROM documents WHERE {where}),
+       UNNEST(range(1, greatest(len(t)-{n - 1}, 0)+1)) AS r(i)"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of
+    its distinct 8-grams that appear anywhere in the benchmark subset
+    (sources src0/src1 stand in for an eval set). The published LM
+    decontamination rule (n-gram overlap at n=8..13); beyond-reference
+    training-data op."""
+    from collector_spark.operators.corpus import contamination_profile
+
+    docs = _documents(spark, sf_dir)
+    bench = docs.filter(F.col("source").isin(*_BENCH_SOURCES))
+    train = docs.filter(~F.col("source").isin(*_BENCH_SOURCES))
+    return contamination_profile(train, bench, n=8)
+
+
+def _sql_contamination() -> str:
+    srcs = ", ".join(f"'{s}'" for s in _BENCH_SOURCES)
+    return f"""
+WITH grams AS ({_duck_ngrams(8)}),
+bench AS (SELECT DISTINCT substr(md5(g),1,16) AS k
+          FROM grams WHERE source IN ({srcs})),
+train AS (SELECT doc_id, substr(md5(g),1,16) AS k
+          FROM grams WHERE source NOT IN ({srcs})),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id),
+hits AS (SELECT t.doc_id, COUNT(*) AS hit_grams
+         FROM train t JOIN bench b ON t.k = b.k GROUP BY t.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(hit_grams, 0) AS BIGINT) AS hit_grams,
+       ROUND(COALESCE(hit_grams / CAST(n_grams AS DOUBLE), 0.0), 6)
+         AS contamination_ratio
+FROM documents d
+LEFT JOIN totals USING (doc_id) LEFT JOIN hits USING (doc_id)
+WHERE d.source NOT IN ({srcs})
+"""
+
+
+def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplication profile: per document, the share of its
+    distinct 5-grams occurring in at least one OTHER document (document
+    frequency >= 2). The profiling half of exact-substring training-data
+    dedup (Lee et al. 2021)."""
+    from collector_spark.operators.corpus import dup_span_profile
+
+    return dup_span_profile(_documents(spark, sf_dir), n=5)
+
+
+def _sql_dup_span() -> str:
+    return f"""
+WITH grams AS ({_duck_ngrams(5)}),
+keyed AS (SELECT doc_id, substr(md5(g),1,16) AS k FROM grams),
+dfq AS (SELECT k, COUNT(*) AS df FROM keyed GROUP BY k),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_grams
+  FROM keyed JOIN dfq USING (k) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(dup_grams, 0) AS BIGINT) AS dup_grams,
+       ROUND(COALESCE(dup_grams / CAST(n_grams AS DOUBLE), 0.0), 6)
+         AS dup_ratio
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signal: top-trigram share per document
+    (the C4/Gopher repetition-removal filter family)."""
+    from collector_spark.operators.corpus import repetition_profile
+
+    return repetition_profile(_documents(spark, sf_dir), n=3)
+
+
+def _sql_repetition() -> str:
+    return f"""
+WITH grams AS ({_duck_ngrams(3, distinct=False)}),
+per_gram AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+per_doc AS (SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS top_count
+            FROM per_gram GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(top_count, 0) AS BIGINT) AS top_count,
+       ROUND(COALESCE(top_count / CAST(n_grams AS DOUBLE), 0.0), 6)
+         AS top_share
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary histogram head: top-50 tokens by corpus
+    frequency (tie-broken by token). TakeOrderedAndProject top-k — the
+    full sort is never materialized."""
+    from collector_spark.operators.corpus import vocab_top_k
+
+    return vocab_top_k(_documents(spark, sf_dir), k=50)
+
+
+_SQL_VOCAB_TOPK = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT UNNEST(string_split(trim(text), ' ')) AS token
+      FROM documents WHERE trim(text) <> '')
+GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+"""
+
+
+def q_hash_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test split (80/10/10) with
+    per-split count and mean document size — stable across runs,
+    machines, and partitionings, unlike an RNG split."""
+    from collector_spark.operators.corpus import split_summary
+
+    return split_summary(_documents(spark, sf_dir))
+
+
+_SQL_HASH_SPLIT = """
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_size
+FROM (SELECT n_chars,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT n_chars,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 100 AS b
+            FROM documents))
+GROUP BY split
+"""
+
+
+def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gaps via lag() — lead/lag window coverage.
+    Gaps in exact integer microseconds (unix_micros ↔ DuckDB epoch_us)
+    so the avg is replayable bit-for-bit after one rounding."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _events(spark, sf_dir).withColumn(
+        # timestamp_diff is naive wall-clock arithmetic — works on the
+        # TIMESTAMP_NTZ parquet column and is session-timezone-independent
+        # (unix_micros would need an NTZ→LTZ cast whose epoch depends on
+        # the session tz), matching DuckDB's naive epoch_us difference.
+        "gap_us",
+        F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts")),
+    )
+    return (
+        ev.filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_us"), 4).alias("avg_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+_SQL_EVENT_GAPS = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(AVG(gap_us), 4) AS avg_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1638,6 +1822,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "late_shipment_priority": q_late_shipment_priority,
         "small_qty_revenue": q_small_qty_revenue,
+        "contamination_check": q_contamination_check,
+        "dup_span_profile": q_dup_span_profile,
+        "repetition_profile": q_repetition_profile,
+        "vocab_topk": q_vocab_topk,
+        "hash_split_summary": q_hash_split_summary,
+        "event_gap_stats": q_event_gap_stats,
     }
 
 
@@ -1700,4 +1890,10 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": _SQL_TOP_REVENUE,
         "late_shipment_priority": _SQL_LATE_SHIPMENT,
         "small_qty_revenue": _SQL_SMALL_QTY,
+        "contamination_check": _sql_contamination(),
+        "dup_span_profile": _sql_dup_span(),
+        "repetition_profile": _sql_repetition(),
+        "vocab_topk": _SQL_VOCAB_TOPK,
+        "hash_split_summary": _SQL_HASH_SPLIT,
+        "event_gap_stats": _SQL_EVENT_GAPS,
     }
