@@ -1660,6 +1660,49 @@ FROM documents d LEFT JOIN per_doc USING (doc_id)
 """
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup surgery: cut every token covered by a
+    5-gram occurring in >= 2 distinct documents and reassemble the rest
+    (Lee et al. 2021 span removal, distributed as a gram-DF join)."""
+    from collector_spark.operators.corpus import remove_duplicated_spans
+
+    return remove_duplicated_spans(_documents(spark, sf_dir), n=5)
+
+
+def _sql_span_removal(n: int = 5) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(trim(text), ' ') END AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, i-1 AS pos,
+         substr(md5(array_to_string(t[i:i+{n - 1}], ' ')), 1, 16) AS k
+  FROM base, UNNEST(range(1, greatest(len(t)-{n - 1}, 0)+1)) AS r(i)),
+dup AS (SELECT k FROM grams GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS idx
+  FROM grams JOIN dup USING (k), UNNEST(range(0, {n})) AS u(j)),
+tokens AS (
+  SELECT doc_id, i-1 AS idx, t[i] AS tok
+  FROM base, UNNEST(range(1, len(t)+1)) AS r(i)),
+kept AS (
+  SELECT tk.doc_id, tk.idx, tk.tok FROM tokens tk
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = tk.doc_id AND c.idx = tk.idx)),
+reass AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+         COUNT(*) AS kept_tokens
+  FROM kept GROUP BY doc_id)
+SELECT b.doc_id,
+       COALESCE(clean_text, '') AS clean_text,
+       CAST(COALESCE(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(t) - COALESCE(kept_tokens, 0) AS BIGINT) AS removed_tokens
+FROM base b LEFT JOIN reass USING (doc_id)
+"""
+
+
 def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition signal: top-trigram share per document
     (the C4/Gopher repetition-removal filter family)."""
@@ -1680,6 +1723,56 @@ SELECT d.doc_id,
        ROUND(COALESCE(top_count / CAST(n_grams AS DOUBLE), 0.0), 6)
          AS top_share
 FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+def q_quality_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style keep/drop filter with per-document drop reason
+    (first-failing-rule-wins: too_short → low_diversity → lang)."""
+    from collector_spark.operators.corpus import quality_filter_report
+
+    return quality_filter_report(_documents(spark, sf_dir))
+
+
+_SQL_QUALITY_FILTER = """
+SELECT doc_id, reason, reason = 'kept' AS keep
+FROM (
+  SELECT doc_id,
+         CASE WHEN wc < 25 THEN 'too_short'
+              WHEN dr < 0.35 THEN 'low_diversity'
+              WHEN lang NOT IN ('en','de','fr','es') THEN 'lang'
+              ELSE 'kept' END AS reason
+  FROM (SELECT doc_id, lang,
+               len(t) AS wc,
+               len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS dr
+        FROM (SELECT doc_id, lang,
+                     string_split(trim(text), ' ') AS t
+              FROM documents)))
+"""
+
+
+def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document most-salient token: max term frequency, ties broken
+    by lower corpus document frequency then token — the TF-IDF argmax on
+    exact integer keys (no float idf, fully replayable)."""
+    from collector_spark.operators.corpus import salient_terms
+
+    return salient_terms(_documents(spark, sf_dir))
+
+
+_SQL_SALIENT_TERMS = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS t
+  FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t),
+dfq AS (SELECT t, COUNT(*) AS df_docs FROM tf GROUP BY t),
+ranked AS (
+  SELECT doc_id, t AS term, CAST(tf AS BIGINT) AS tf,
+         CAST(df_docs AS BIGINT) AS df_docs,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, df_docs ASC, t ASC) AS rn
+  FROM tf JOIN dfq USING (t))
+SELECT doc_id, term, tf, df_docs FROM ranked WHERE rn = 1
 """
 
 
@@ -1824,7 +1917,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "contamination_check": q_contamination_check,
         "dup_span_profile": q_dup_span_profile,
+        "dedup_span_removal": q_dedup_span_removal,
         "repetition_profile": q_repetition_profile,
+        "quality_filter_report": q_quality_filter_report,
+        "salient_terms": q_salient_terms,
         "vocab_topk": q_vocab_topk,
         "hash_split_summary": q_hash_split_summary,
         "event_gap_stats": q_event_gap_stats,
@@ -1892,7 +1988,10 @@ def oracle_sql() -> dict[str, str]:
         "small_qty_revenue": _SQL_SMALL_QTY,
         "contamination_check": _sql_contamination(),
         "dup_span_profile": _sql_dup_span(),
+        "dedup_span_removal": _sql_span_removal(),
         "repetition_profile": _sql_repetition(),
+        "quality_filter_report": _SQL_QUALITY_FILTER,
+        "salient_terms": _SQL_SALIENT_TERMS,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "hash_split_summary": _SQL_HASH_SPLIT,
         "event_gap_stats": _SQL_EVENT_GAPS,

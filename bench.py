@@ -83,6 +83,11 @@ BENCH_QUERIES = [
     "top_revenue_orders",
     "late_shipment_priority",
     "small_qty_revenue",
+    "contamination_check",
+    "dup_span_profile",
+    "dedup_span_removal",
+    "salient_terms",
+    "vocab_topk",
 ]
 
 

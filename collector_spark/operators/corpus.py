@@ -47,7 +47,10 @@ __all__ = [
     "word_ngrams_exploded",
     "contamination_profile",
     "dup_span_profile",
+    "remove_duplicated_spans",
     "repetition_profile",
+    "quality_filter_report",
+    "salient_terms",
     "vocab_top_k",
     "hash_split",
     "split_summary",
@@ -197,6 +200,87 @@ def dup_span_profile(
     return out
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup SURGERY: cut every token covered by a word
+    n-gram that occurs in >= 2 distinct documents, and reassemble the
+    rest (the span-removal half of "Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2021 — their suffix-array match
+    finder replaced by a distributed n-gram document-frequency join).
+
+    Returns (id, clean_text, kept_tokens, removed_tokens). Whitespace is
+    normalized to single spaces (the tokenize contract); a fully-
+    duplicated document comes back with clean_text = ''.
+
+    Scale shape: rows through the exchanges are (id, pos, 16-hex key)
+    gram triples and (id, token_idx) coverage pairs — never text. The
+    doc-frequency agg and re-join key on the gram hash; coverage
+    expansion is <= n rows per duplicated gram; the final reassembly is
+    one doc-keyed agg whose collect_list is bounded by document length.
+    """
+    words = F.col("_w")
+    n_grams = F.size(words) - (n - 1)
+    gram_keys = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: _gram_key(F.concat_ws(" ", F.slice(words, i, n))),
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), _words(text_col).alias("_w")
+    )
+    # (_id, _pos, _k): gram at 0-based token position _pos covers
+    # tokens [_pos, _pos+n-1]
+    grams = base.filter(F.size("_w") >= n).select(
+        "_id", F.posexplode(gram_keys).alias("_pos", "_k")
+    )
+    # cross-document frequency: in how many DISTINCT docs does the gram
+    # occur (>= 2 → duplicated; same-doc repeats alone don't count)
+    dfreq = grams.groupBy("_k").agg(
+        F.count_distinct("_id").alias("_docs")
+    )
+    covered = (
+        grams.join(dfreq.filter(F.col("_docs") >= 2), "_k")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + (n - 1))
+            ).alias("_idx"),
+        )
+        .distinct()
+    )
+    tokens = base.select(
+        "_id", F.posexplode(words).alias("_idx", "_tok")
+    )
+    kept = tokens.join(covered, ["_id", "_idx"], "left_anti")
+    reassembled = kept.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_idx", "_tok"))
+                ),
+                lambda s: s["_tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_tokens"),
+    )
+    totals = base.select("_id", F.size(words).alias("_total"))
+    return (
+        totals.join(reassembled, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            (F.col("_total") - F.coalesce("kept_tokens", F.lit(0))).alias(
+                "removed_tokens"
+            ),
+        )
+    )
+
+
 def repetition_profile(
     df: DataFrame,
     n: int = 3,
@@ -228,6 +312,74 @@ def repetition_profile(
             ),
             6,
         ).alias("top_share"),
+    )
+
+
+def quality_filter_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_words: int = 25,
+    min_distinct_ratio: float = 0.35,
+    allowed_langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+) -> DataFrame:
+    """C4-style keep/drop filter with per-document drop REASON (the
+    diagnostics a pipeline needs to audit what a filter config removes).
+
+    Rules, first-failing-wins: too_short (word count), low_diversity
+    (distinct-token ratio), lang (allow-list); survivors get 'kept'.
+    Pure Catalyst column arithmetic — one projection, no shuffle.
+    """
+    w = _words(text_col)
+    wc = F.size(w)
+    dr = F.size(F.array_distinct(w)) / wc.cast("double")
+    reason = (
+        F.when(wc < min_words, F.lit("too_short"))
+        .when(dr < min_distinct_ratio, F.lit("low_diversity"))
+        .when(~F.col(lang_col).isin(*allowed_langs), F.lit("lang"))
+        .otherwise(F.lit("kept"))
+    )
+    return df.select(
+        F.col(id_col),
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+    )
+
+
+def salient_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document most-salient token: highest term frequency, ties
+    broken by LOWER document frequency (rarer corpus-wide = more
+    distinctive), then token order. The TF-IDF argmax — but ranked on
+    exact integer (tf, df) pairs instead of a float idf product, so the
+    winner is deterministic and replayable (no libm log in the oracle).
+
+    Two shuffles: token-keyed doc-frequency agg, then a doc-keyed
+    window top-1. Returns (id, term, tf, df_docs)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(_words(text_col)).alias("_t")
+    )
+    tf = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("df_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(
+        F.desc("tf"), F.asc("df_docs"), F.asc("_t")
+    )
+    return (
+        tf.join(dfreq, "_t")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_t").alias("term"),
+            "tf",
+            "df_docs",
+        )
     )
 
 

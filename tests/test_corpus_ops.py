@@ -12,7 +12,10 @@ from collector_spark.operators.corpus import (
     contamination_profile,
     dup_span_profile,
     hash_split,
+    quality_filter_report,
+    remove_duplicated_spans,
     repetition_profile,
+    salient_terms,
     vocab_top_k,
     word_ngrams_exploded,
 )
@@ -83,11 +86,85 @@ def test_repetition_profile_planted(spark):
     assert got == {1: (5, 3, 0.6), 2: (2, 1, 0.5), 3: (0, 0, 0.0)}
 
 
+def test_span_removal_cuts_shared_spans_only(spark):
+    # docs 1 and 2 share the 2-gram "b c" → tokens b,c cut from both;
+    # doc 1's repeated-within-itself "a a" is NOT cut (df counts docs);
+    # doc 3 is untouched; doc 4 is a full duplicate of doc 5 → emptied.
+    df = _docs(
+        spark,
+        [
+            (1, "a a b c d"),
+            (2, "x b c y"),
+            (3, "p q r"),
+            (4, "same same text here"),
+            (5, "same same text here"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.kept_tokens, r.removed_tokens)
+        for r in remove_duplicated_spans(df, n=2).collect()
+    }
+    assert got == {
+        1: ("a a d", 3, 2),
+        2: ("x y", 2, 2),
+        3: ("p q r", 3, 0),
+        4: ("", 0, 4),
+        5: ("", 0, 4),
+    }
+
+
+def test_span_removal_overlapping_spans_merge(spark):
+    # shared 3-grams "a b c" (pos 0) and "b c d" (pos 1) overlap in doc 1:
+    # coverage is the union {0..3}, not double-counted.
+    df = _docs(spark, [(1, "a b c d z"), (2, "a b c d w")])
+    got = {
+        r.doc_id: (r.clean_text, r.removed_tokens)
+        for r in remove_duplicated_spans(df, n=3).collect()
+    }
+    assert got == {1: ("z", 4), 2: ("w", 4)}
+
+
 def test_vocab_top_k_order_and_ties(spark):
     df = _docs(spark, [(1, "b a b c a b"), (2, "c a")])
     rows = vocab_top_k(df, k=2).collect()
     # counts: a=3, b=3, c=2 → ties broken by token asc
     assert [(r.token, r.cnt) for r in rows] == [("a", 3), ("b", 3)]
+
+
+def test_quality_filter_first_failing_rule_wins(spark):
+    rows = [
+        (1, "a b", "en"),               # too_short (even though diverse)
+        (2, "x x x x y", "en"),         # low_diversity (2/5 = 0.4 < 0.5)
+        (3, "p q r s t", "zh"),         # lang
+        (4, "k l m n o", "en"),         # kept
+        (5, "a a", "zh"),               # too_short wins over lang
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: (r.reason, r.keep)
+        for r in quality_filter_report(
+            df, min_words=3, min_distinct_ratio=0.5, allowed_langs=("en",)
+        ).collect()
+    }
+    assert got == {
+        1: ("too_short", False),
+        2: ("low_diversity", False),
+        3: ("lang", False),
+        4: ("kept", True),
+        5: ("too_short", False),
+    }
+
+
+def test_salient_terms_tf_then_rarity_then_token(spark):
+    # doc 1: 'x' tf=2 wins on tf. doc 2: 'q' and 'z' both tf=1; 'z'
+    # appears only in doc 2 (df=1) while 'q' also in doc 3 (df=2) → 'z'.
+    # doc 3: all tf=1, df=1 ties → token order picks 'a'.
+    df = _docs(spark, [(1, "x y x"), (2, "q z"), (3, "q a b")])
+    got = {
+        r.doc_id: (r.term, r.tf, r.df_docs)
+        for r in salient_terms(df).collect()
+    }
+    assert got == {1: ("x", 2, 1), 2: ("z", 1, 1), 3: ("a", 1, 1)}
 
 
 def test_hash_split_is_deterministic_and_partition_independent(spark):
