@@ -232,10 +232,13 @@ def remove_duplicated_spans(
         F.col(id_col).alias("_id"), _words(text_col).alias("_w")
     )
     # (_id, _pos, _k): gram at 0-based token position _pos covers
-    # tokens [_pos, _pos+n-1]
+    # tokens [_pos, _pos+n-1]. Persisted: referenced twice (doc-freq agg
+    # + covered-position probe) and recomputing it would re-scan the
+    # text column and re-md5 every gram.
     grams = base.filter(F.size("_w") >= n).select(
         "_id", F.posexplode(gram_keys).alias("_pos", "_k")
     )
+    grams = grams.persist()
     # cross-document frequency: in how many DISTINCT docs does the gram
     # occur (>= 2 → duplicated; same-doc repeats alone don't count)
     dfreq = grams.groupBy("_k").agg(

@@ -188,3 +188,19 @@ def test_small_qty_revenue_single_key_shuffle(spark):
     df = q_small_qty_revenue(spark, "/root/testdata/sf0.001")
     cols = scan_read_schema(df)
     assert set(cols) <= {"l_partkey", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_span_removal_plan_no_cartesian_and_pruned_scan(spark):
+    """Exact-substring span removal: every join keys on the gram hash or
+    (id, token-idx) — nothing all-pairs — and the documents scan prunes
+    to (doc_id, text). The persisted grams table means the gram md5 is
+    computed once, not re-derived per consumer."""
+    from __spark_entry__ import q_dedup_span_removal
+    from collector_spark.plans.inspect import executed_plan
+
+    df = q_dedup_span_removal(spark, "/root/testdata/sf0.001")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # grams persisted, not recomputed
+    cols = scan_read_schema(df)
+    assert set(cols) <= {"doc_id", "text"}, cols
