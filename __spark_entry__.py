@@ -1817,6 +1817,62 @@ GROUP BY split
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM sequence packing: docs laid end-to-end in id order, token
+    stream cut into 512-token bins, each doc assigned its start bin.
+    Distributed two-phase prefix sum (id-range bucket partials + tiny
+    offset window) — no global single-partition window."""
+    from collector_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(_documents(spark, sf_dir), budget=512)
+
+
+_SQL_PACK = """
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR(start_tok / 512.0) AS BIGINT) AS bin_id
+FROM (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM (SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split(trim(text), ' ')) END AS n_tokens
+        FROM documents))
+"""
+
+_SAMPLE_RATES = {"en": 50, "de": 25, "zh": 10}
+
+
+def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (md5-bucket thresholds per
+    language stratum; 20% default) — per-stratum kept counts."""
+    from collector_spark.operators.corpus import stratified_sample
+
+    kept = stratified_sample(
+        _documents(spark, sf_dir),
+        rates=_SAMPLE_RATES,
+        default_pct=20,
+        strat_col="lang",
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))
+
+
+def _sql_stratified() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS kept
+FROM (SELECT lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 100 AS b,
+             CASE {whens} ELSE 20 END AS rate
+      FROM documents)
+WHERE b < rate GROUP BY lang
+"""
+
+
 def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-arrival gaps via lag() — lead/lag window coverage.
     Gaps in exact integer microseconds (unix_micros ↔ DuckDB epoch_us)
@@ -1924,6 +1980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "hash_split_summary": q_hash_split_summary,
         "event_gap_stats": q_event_gap_stats,
+        "pack_sequences_bins": q_pack_sequences,
+        "stratified_sample_counts": q_stratified_sample_counts,
     }
 
 
@@ -1995,4 +2053,6 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _SQL_VOCAB_TOPK,
         "hash_split_summary": _SQL_HASH_SPLIT,
         "event_gap_stats": _SQL_EVENT_GAPS,
+        "pack_sequences_bins": _SQL_PACK,
+        "stratified_sample_counts": _sql_stratified(),
     }

@@ -40,7 +40,7 @@ Scale shapes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -54,6 +54,8 @@ __all__ = [
     "vocab_top_k",
     "hash_split",
     "split_summary",
+    "stratified_sample",
+    "pack_sequences",
 ]
 
 
@@ -425,6 +427,81 @@ def hash_split(
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    default_pct: int = 0,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its md5 bucket
+    (0-99, same family as hash_split) is below the stratum's percentage.
+    Exact per-stratum rates in expectation, reproducible everywhere —
+    no RNG, no sampleBy seed drift across partitionings. Pure
+    projection + filter; no shuffle."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.lit(default_pct)
+    for key, pct in sorted(rates.items()):
+        rate = F.when(F.col(strat_col) == key, F.lit(pct)).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """LM sequence packing: lay documents end-to-end in global id order
+    and cut the token stream into bins of ``budget`` tokens; each doc is
+    assigned the bin its FIRST token lands in. Returns
+    (id, n_tokens, bin_id).
+
+    The global prefix sum is the scale trap here: a bare
+    Window.orderBy(id) funnels every row through ONE partition. Instead,
+    two-phase: (1) per-bucket token totals (id-range buckets preserve
+    the global order), (2) an exclusive running sum over the B bucket
+    totals — only B tiny rows cross the single-partition window — and
+    (3) a within-bucket exclusive prefix sum partitioned by bucket,
+    shifted by its bucket offset. Identical to the textbook distributed
+    scan; DuckDB replays it as one plain window SUM.
+    """
+    wc = df.select(
+        F.col(id_col).alias("_id"), F.size(_words(text_col)).alias("n_tokens")
+    )
+    # id-range buckets: contiguous in id order, so (bucket asc, id asc)
+    # is the global id order. One 1-row action for the id span (same
+    # pattern as the streaming watermark max / k-means centroid collect).
+    max_id = wc.agg(F.max("_id")).first()[0]
+    span = max(1, (int(max_id) + n_buckets) // n_buckets)
+    wc = wc.withColumn("_b", (F.col("_id") / span).cast("bigint"))
+
+    per_bucket = wc.groupBy("_b").agg(F.sum("n_tokens").alias("_bt"))
+    w_off = (
+        Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(w_off), F.lit(0))
+    ).select("_b", "_off")
+
+    w_doc = (
+        Window.partitionBy("_b")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w_doc), F.lit(0)) + F.col("_off")
+    return (
+        wc.join(offsets, "_b")
+        .withColumn("bin_id", F.floor(start / budget))
+        .select(F.col("_id").alias(id_col), "n_tokens", "bin_id")
     )
 
 

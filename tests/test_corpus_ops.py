@@ -7,6 +7,7 @@ real tables; here we pin the SEMANTICS on tiny planted corpora where the
 expected values are computable by hand."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from collector_spark.operators.corpus import (
     contamination_profile,
@@ -181,6 +182,61 @@ def test_hash_split_is_deterministic_and_partition_independent(spark):
     val = sum(v == "val" for v in a.values()) / n
     assert 0.75 < train < 0.85, train
     assert 0.07 < val < 0.13, val
+
+
+def test_pack_sequences_matches_serial_prefix_sum(spark):
+    from collector_spark.operators.corpus import pack_sequences
+
+    # ids with gaps; token counts 3,5,4,2,6 over budget 7:
+    # starts 0,3,8,12,14 → bins 0,0,1,1,2
+    rows = [
+        (0, "a b c"),
+        (3, "a b c d e"),
+        (7, "a b c d"),
+        (11, "a b"),
+        (12, "a b c d e f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.bin_id)
+        for r in pack_sequences(df, budget=7, n_buckets=3).collect()
+    }
+    assert got == {0: (3, 0), 3: (5, 0), 7: (4, 1), 11: (2, 1), 12: (6, 2)}
+
+
+def test_pack_sequences_bucket_count_does_not_change_bins(spark):
+    from collector_spark.operators.corpus import pack_sequences
+
+    df = (
+        spark.range(0, 300)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("text", F.concat_ws(" ", F.array_repeat(F.lit("w"), 13)))
+    )
+    a = {r.doc_id: r.bin_id for r in pack_sequences(df, 64, n_buckets=1).collect()}
+    b = {r.doc_id: r.bin_id for r in pack_sequences(df, 64, n_buckets=37).collect()}
+    assert a == b
+    # 300 docs x 13 tokens / 64 budget → 61 bins, docs straddle bins
+    assert len(set(a.values())) == 61
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    from collector_spark.operators.corpus import stratified_sample
+
+    df = (
+        spark.range(0, 4000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "source", F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+        )
+    )
+    kept1 = stratified_sample(df, {"a": 50, "b": 10}).collect()
+    kept2 = stratified_sample(df.repartition(7), {"a": 50, "b": 10}).collect()
+    assert sorted(r.doc_id for r in kept1) == sorted(r.doc_id for r in kept2)
+    by_src = {}
+    for r in kept1:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert 0.45 < by_src["a"] / 2000 < 0.55, by_src
+    assert 0.07 < by_src["b"] / 2000 < 0.13, by_src
 
 
 def test_hash_split_rejects_nothing_and_covers_all_rows(spark):
