@@ -1920,6 +1920,132 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pipeline_parse_route_agg(spark, "/root/testdata/sf0.001")
 
 
+# ---------------------------------------------------------------------------
+# Curation: corpus-statistics selection ops (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')"
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: per-document mean negative
+    log-probability under the corpus's own Laplace-smoothed unigram
+    distribution (curation.unigram_logprob)."""
+    from collector_spark.operators.curation import unigram_logprob
+
+    return unigram_logprob(_documents(spark, sf_dir))
+
+
+_SQL_UNIGRAM = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+totals AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, COUNT(*) AS v FROM vocab)
+SELECT toks.doc_id,
+       CAST(COUNT(*) AS INT) AS n_tokens,
+       ROUND(AVG(-LN(CAST(cnt + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))), 6)
+         AS nll
+FROM toks JOIN vocab USING (tok) CROSS JOIN totals
+GROUP BY toks.doc_id
+"""
+
+_BUDGET_TOKENS = 8000
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-first curriculum selection: keep the best-scored
+    documents whose cumulative token count fits an 8k-token budget
+    (curation.token_budget_select over textstats.quality_score_col)."""
+    from collector_spark.operators.curation import token_budget_select
+    from collector_spark.operators.textstats import quality_score_col
+
+    return token_budget_select(
+        _documents(spark, sf_dir),
+        budget=_BUDGET_TOKENS,
+        score_col=quality_score_col(text_col="text"),
+    )
+
+
+def _sql_token_budget() -> str:
+    from collector_spark.operators.textstats import quality_score_sql
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {quality_score_sql('text')} AS score,
+         CAST(len({_DUCK_TOKS}) AS INT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, score, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, score, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= {_BUDGET_TOKENS}
+"""
+
+
+_SHUFFLE_SALT = "epoch0"
+
+
+def q_corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-keyed deterministic global training order: position = rank
+    of md5(salt|doc_id) (curation.deterministic_shuffle; distributed
+    rank via md5-prefix buckets, no single-partition window)."""
+    from collector_spark.operators.curation import deterministic_shuffle
+
+    return deterministic_shuffle(
+        _documents(spark, sf_dir), salt=_SHUFFLE_SALT
+    ).select("doc_id", "shuffle_key", "position")
+
+
+_SQL_SHUFFLE_KEY = f"md5('{_SHUFFLE_SALT}|' || CAST(doc_id AS VARCHAR))"
+_SQL_CORPUS_SHUFFLE = f"""
+SELECT doc_id, {_SQL_SHUFFLE_KEY} AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY {_SQL_SHUFFLE_KEY}) AS BIGINT)
+         AS position
+FROM documents
+"""
+
+# target mixture: equal 10% for src0..src9, 0 for the rest (upsamples
+# and downsamples both occur against the ~5%-each actual shares)
+_MIX_TARGETS = {f"src{i}": 0.1 for i in range(10)}
+
+
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting: per-source sampling weight that reshapes
+    actual token shares into the target mix (curation.source_mix_weights)."""
+    from collector_spark.operators.curation import source_mix_weights
+
+    return source_mix_weights(_documents(spark, sf_dir), _MIX_TARGETS)
+
+
+def _sql_mix_weights() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {share!r}"
+        for s, share in sorted(_MIX_TARGETS.items())
+    )
+    # CAST: DuckDB 0.1 literals are DECIMAL; Spark's are double
+    target = f"CAST((CASE {cases} ELSE 0.0 END) AS DOUBLE)"
+    actual = "(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE))"
+    return f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per)
+SELECT source, n_docs, n_tokens,
+       ROUND({actual}, 6) AS actual_share,
+       ROUND({target}, 6) AS target_share,
+       ROUND({target} / {actual}, 6) AS weight
+FROM per CROSS JOIN tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_parse_route_agg": q_pipeline_parse_route_agg,
@@ -1982,6 +2108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gap_stats": q_event_gap_stats,
         "pack_sequences_bins": q_pack_sequences,
         "stratified_sample_counts": q_stratified_sample_counts,
+        "unigram_logprob": q_unigram_logprob,
+        "token_budget_select": q_token_budget_select,
+        "corpus_shuffle_order": q_corpus_shuffle_order,
+        "source_mix_weights": q_source_mix_weights,
     }
 
 
@@ -2055,4 +2185,8 @@ def oracle_sql() -> dict[str, str]:
         "event_gap_stats": _SQL_EVENT_GAPS,
         "pack_sequences_bins": _SQL_PACK,
         "stratified_sample_counts": _sql_stratified(),
+        "unigram_logprob": _SQL_UNIGRAM,
+        "token_budget_select": _sql_token_budget(),
+        "corpus_shuffle_order": _SQL_CORPUS_SHUFFLE,
+        "source_mix_weights": _sql_mix_weights(),
     }

@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "dedup_span_removal",
     "salient_terms",
     "vocab_topk",
+    "unigram_logprob",
+    "token_budget_select",
+    "corpus_shuffle_order",
 ]
 
 

@@ -1,0 +1,124 @@
+"""Curation operators (operators/curation.py) vs pure-Python models:
+unigram LM scoring, token-budget selection, deterministic shuffle
+order, and source mixture reweighting."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from collector_spark.operators.curation import (
+    deterministic_shuffle,
+    source_mix_weights,
+    token_budget_select,
+    unigram_logprob,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat", "a"),
+    (2, "the dog sat", "a"),
+    (3, "quantum flux capacitor overload", "b"),
+    (4, "the the the the", "b"),
+    (5, "cat dog mat", "c"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def _py_unigram(rows):
+    toks = {i: t.split() for i, t, _ in rows}
+    counts = {}
+    for ws in toks.values():
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    T, V = sum(counts.values()), len(counts)
+    out = {}
+    for i, ws in toks.items():
+        nlps = [-math.log((counts[w] + 1) / (T + V)) for w in ws]
+        out[i] = (len(ws), round(sum(nlps) / len(nlps), 6))
+    return out
+
+
+def test_unigram_logprob_matches_python_model(docs):
+    got = {r.doc_id: (r.n_tokens, r.nll) for r in unigram_logprob(docs).collect()}
+    assert got == _py_unigram(DOCS)
+
+
+def test_unigram_logprob_rare_tokens_score_higher(docs):
+    got = {r.doc_id: r.nll for r in unigram_logprob(docs).collect()}
+    # doc 3 is all-hapax; doc 4 is the most common token repeated
+    assert got[3] > got[1] > got[4]
+
+
+def test_token_budget_select_matches_serial_greedy(spark):
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(i + 1))) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # score descending by doc_id parity then id: use a simple deterministic
+    # score in [0,1] (two decimal grid)
+    score = F.round((F.col("doc_id") % 4) / 4.0 + 0.1, 4)
+    got = {
+        r.doc_id: (r.n_tokens, r.cum_tokens)
+        for r in token_budget_select(df, budget=30, score_col=score).collect()
+    }
+    ranked = sorted(rows, key=lambda r: (-((r[0] % 4) / 4.0 + 0.1), r[0]))
+    cum, want = 0, {}
+    for i, t in ranked:
+        n = len(t.split())
+        cum += n
+        if cum <= 30:
+            want[i] = (n, cum)
+    assert want and got == want
+
+
+def test_token_budget_select_partition_independent(spark):
+    rows = [(i, " ".join("w" for _ in range(1 + i % 7))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    score = F.round((F.col("doc_id") % 10) / 10.0, 4)
+    a = token_budget_select(df, 60, score).collect()
+    b = token_budget_select(df.repartition(13), 60, score).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_deterministic_shuffle_is_md5_rank(docs):
+    out = deterministic_shuffle(docs, salt="s1").collect()
+    keys = {
+        r.doc_id: hashlib.md5(f"s1|{r.doc_id}".encode()).hexdigest() for r in out
+    }
+    want_pos = {
+        i: rank + 1
+        for rank, i in enumerate(sorted(keys, key=lambda i: keys[i]))
+    }
+    assert {r.doc_id: r.shuffle_key for r in out} == keys
+    assert {r.doc_id: r.position for r in out} == want_pos
+    # carries input columns through
+    assert {r.source for r in out} == {"a", "b", "c"}
+
+
+def test_deterministic_shuffle_partition_independent_and_salted(docs):
+    a = {(r.doc_id, r.position) for r in deterministic_shuffle(docs, "e1").collect()}
+    b = {
+        (r.doc_id, r.position)
+        for r in deterministic_shuffle(docs.repartition(7), "e1").collect()
+    }
+    c = {(r.doc_id, r.position) for r in deterministic_shuffle(docs, "e2").collect()}
+    assert a == b
+    assert a != c  # re-salting gives a different epoch order
+    assert {p for _, p in c} == {1, 2, 3, 4, 5}  # but still a total order
+
+
+def test_source_mix_weights_matches_python(docs):
+    targets = {"a": 0.5, "b": 0.25}
+    got = {r.source: r for r in source_mix_weights(docs, targets).collect()}
+    tokens = {"a": 9, "b": 8, "c": 3}
+    total = 20
+    for s, n in tokens.items():
+        t = targets.get(s, 0.0)
+        assert got[s].n_docs == (2 if s != "c" else 1)
+        assert got[s].n_tokens == n
+        assert got[s].actual_share == round(n / total, 6)
+        assert got[s].target_share == round(t, 6)
+        assert got[s].weight == round(t / (n / total), 6)
