@@ -204,3 +204,46 @@ def test_span_removal_plan_no_cartesian_and_pruned_scan(spark):
     assert "InMemoryTableScan" in plan  # grams persisted, not recomputed
     cols = scan_read_schema(df)
     assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_curation_prefix_sums_are_two_phase(spark):
+    """token_budget_select / deterministic_shuffle: the full-row window
+    must be partitioned (by the bucket key), and the only
+    single-partition exchange is the tiny per-bucket offset window —
+    never the row stream (the pack_sequences distributed-scan contract)."""
+    from collector_spark.operators.curation import (
+        deterministic_shuffle,
+        token_budget_select,
+    )
+    from collector_spark.plans.inspect import executed_plan
+
+    rows = [(i, " ".join("w" for _ in range(1 + i % 7))) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    score = F.round((F.col("doc_id") % 10) / 10.0, 4)
+    for out in (token_budget_select(df, 60, score), deterministic_shuffle(df, "s")):
+        plan = executed_plan(out)
+        singles = [l for l in plan.splitlines() if "Exchange SinglePartition" in l]
+        assert len(singles) == 1, singles
+        # the per-row window is bucket-partitioned: spec ends with
+        # "], [_b...], [<ordering>]" (partition spec present)
+        partitioned = [
+            l
+            for l in plan.splitlines()
+            if "windowspecdefinition(_b" in l and "], [_b" in l
+        ]
+        assert partitioned, plan
+
+
+def test_unigram_logprob_no_cartesian_totals_broadcast(spark):
+    """The (T, V) scalars ride a 1-row broadcast; the token join is a
+    keyed hash join — no cartesian product anywhere."""
+    from collector_spark.operators.curation import unigram_logprob
+    from collector_spark.plans.inspect import executed_plan
+
+    df = spark.createDataFrame(
+        [(i, "a b c d" if i % 2 else "a a b") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = executed_plan(unigram_logprob(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
