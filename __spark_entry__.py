@@ -1920,6 +1920,75 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pipeline_parse_route_agg(spark, "/root/testdata/sf0.001")
 
 
+def q_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    (including the zero bucket via LEFT OUTER join). Scale shape: one
+    shuffle on the customer key, then a tiny histogram aggregation —
+    both map-side combinable."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_SQL_ORDER_HIST = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+"""
+
+
+def q_high_balance_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count + balance of above-average-
+    balance customers with no urgent orders (scalar-subquery threshold
+    broadcast + anti join). The threshold is a 1-row broadcast cross
+    join — no driver collect, one plan."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    urgent = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("_t")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_t"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_SQL_HIGH_BAL = """
+WITH thr AS (
+  SELECT ROUND(AVG(c_acctbal), 6) AS t FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer CROSS JOIN thr
+WHERE c_acctbal > t
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Curation: corpus-statistics selection ops (operators/curation.py)
 # ---------------------------------------------------------------------------
@@ -2112,6 +2181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": q_token_budget_select,
         "corpus_shuffle_order": q_corpus_shuffle_order,
         "source_mix_weights": q_source_mix_weights,
+        "order_count_histogram": q_order_count_histogram,
+        "high_balance_inactive": q_high_balance_inactive,
     }
 
 
@@ -2189,4 +2260,6 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_select": _sql_token_budget(),
         "corpus_shuffle_order": _SQL_CORPUS_SHUFFLE,
         "source_mix_weights": _sql_mix_weights(),
+        "order_count_histogram": _SQL_ORDER_HIST,
+        "high_balance_inactive": _SQL_HIGH_BAL,
     }

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "token_budget_select",
     "corpus_shuffle_order",
+    "order_count_histogram",
 ]
 
 
