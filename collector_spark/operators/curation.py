@@ -216,7 +216,6 @@ def source_mix_weights(
         F.sum(F.size(_words(text_col))).alias("n_tokens"),
     )
     total = Window.partitionBy()
-    target = F.lit(None).cast("double")
     expr = None
     for src, share in sorted(targets.items()):
         cond = F.col("source") == src
