@@ -1996,6 +1996,38 @@ GROUP BY c_nationkey
 _DUCK_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')"
 
 
+def q_per_source_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped feature normalization: per-source z-score of document
+    length (the feature-scaling pass of a quality-classifier pipeline).
+    Two-pass agg + broadcast join, NOT a per-source window — with few
+    huge groups a Window.partitionBy(source) funnels each source
+    through one task; the n_sources-row stats table broadcasts free."""
+    docs = _documents(spark, sf_dir)
+    stats = docs.groupBy("source").agg(
+        F.avg("n_chars").alias("_m"), F.stddev_samp("n_chars").alias("_s")
+    )
+    return (
+        docs.join(F.broadcast(stats), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.round((F.col("n_chars") - F.col("_m")) / F.col("_s"), 4).alias(
+                "z_len"
+            ),
+        )
+    )
+
+
+_SQL_ZSCORE = """
+WITH stats AS (
+  SELECT source, AVG(n_chars) AS m, STDDEV_SAMP(n_chars) AS s
+  FROM documents GROUP BY source
+)
+SELECT doc_id, d.source, ROUND((n_chars - m) / s, 4) AS z_len
+FROM documents d JOIN stats USING (source)
+"""
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality proxy: per-document mean negative
     log-probability under the corpus's own Laplace-smoothed unigram
@@ -2182,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_order": q_corpus_shuffle_order,
         "source_mix_weights": q_source_mix_weights,
         "order_count_histogram": q_order_count_histogram,
+        "per_source_zscore": q_per_source_zscore,
         "high_balance_inactive": q_high_balance_inactive,
     }
 
@@ -2261,5 +2294,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle_order": _SQL_CORPUS_SHUFFLE,
         "source_mix_weights": _sql_mix_weights(),
         "order_count_histogram": _SQL_ORDER_HIST,
+        "per_source_zscore": _SQL_ZSCORE,
         "high_balance_inactive": _SQL_HIGH_BAL,
     }
