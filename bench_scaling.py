@@ -132,9 +132,8 @@ def bandwidth_control(total_copies: int = 480) -> dict:
     does NOT grow with thread count once saturated. This control measures
     that ceiling directly — the honest normalizer for the MinHash-LSH
     workload (round-2 VERDICT #4: the bus-saturation claim was asserted,
-    not measured).""".format(
-        buf=_BW_BUF_MB, gb=total_copies * _BW_BUF_MB * 2 // 1024
-    )
+    not measured). Buffer size _BW_BUF_MB MB; total traffic ~=
+    total_copies * _BW_BUF_MB * 2 bytes read+write."""
     out = {}
     for workers in (8, 32):
         per = max(1, total_copies // workers)

@@ -689,9 +689,12 @@ class ColumnCompiler:
         if node.op == "*":
             return left * right
         if node.op == "/":
-            return left / right
+            # try_divide: /0 yields NULL (→ non-match) like DuckDB and the
+            # Python error-as-non-match path, instead of an ANSI-mode
+            # SparkArithmeticException killing the whole job
+            return F.try_divide(left, right)
         if node.op == "%":
-            return left % right
+            return F.try_mod(left, right)
         raise CelSyntaxError(f"unknown arithmetic op {node.op!r}")
 
     def _lit_of(self, node):
@@ -914,9 +917,11 @@ def _map_expr_column(node, var: str, x: Column) -> Column:
         if node.op == "*":
             return left * right
         if node.op == "/":
-            return left / right
+            # NULL element on /0 (matches DuckDB and the Python backend's
+            # None element) — never an ANSI runtime error
+            return F.try_divide(left, right)
         if node.op == "%":
-            return left % right
+            return F.try_mod(left, right)
     raise CelSyntaxError(f"unsupported map() expression {node!r}")
 
 
@@ -1005,7 +1010,14 @@ class SqlCompiler:
         if isinstance(node, InList):
             items = ", ".join(self._lit(v) for v in node.items)
             like = node.items[0] if node.items else None
-            return f"({self._typed_path(node.operand, like)} IN ({items}))"
+            # operand may be a literal ('k' in {'k': 1}) or expression,
+            # not only a path — mirror ColumnCompiler._operand
+            operand = (
+                self._typed_path(node.operand, like)
+                if isinstance(node.operand, Path)
+                else self._operand_sql(node.operand)
+            )
+            return f"({operand} IN ({items}))"
         if isinstance(node, InField):
             is_num = isinstance(node.needle.value, (int, float)) and not isinstance(
                 node.needle.value, bool
@@ -1343,7 +1355,13 @@ def _py_list_expr(node, event: dict) -> list:
         if not isinstance(item, (int, float)) or isinstance(item, bool):
             out.append(None)
             continue
-        out.append(_py_map_eval(node.expr, node.var, float(item)))
+        try:
+            out.append(_py_map_eval(node.expr, node.var, float(item)))
+        except CelEvalError:
+            # element-wise error (/0, %0) → None element, matching
+            # Spark try_divide/try_mod and DuckDB NULL — size() then
+            # counts the element on every backend
+            out.append(None)
     return out
 
 

@@ -164,6 +164,7 @@ def dup_span_profile(
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    unpersist_into: list | None = None,
 ) -> DataFrame:
     """Per-document share of n-grams that also occur in ANOTHER document.
 
@@ -171,12 +172,19 @@ def dup_span_profile(
     per-doc grams. A gram counts as duplicated when its document
     frequency is >= 2. Two gram-keyed shuffles (doc-frequency agg +
     re-join) and one doc-keyed agg; nothing is all-pairs.
+
+    The gram table is persisted (referenced by both the doc-frequency
+    agg and the join probe) and NOT unpersisted here — pass
+    ``unpersist_into=[]`` to receive it and release the cache after the
+    result is materialized (the minhash_lsh_pairs hand-off convention).
     """
     t = (
         word_ngrams_exploded(df, n, text_col, id_col, distinct=True)
         .select("_id", _gram_key(F.col("_gram")).alias("_k"))
     )
-    t = t.persist()  # referenced 3x below (doc-freq, join probe, totals)
+    t = t.persist()  # referenced twice below (doc-freq agg, join probe)
+    if unpersist_into is not None:
+        unpersist_into.append(t)
     dfreq = t.groupBy("_k").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
         t.join(dfreq, "_k")
@@ -207,6 +215,7 @@ def remove_duplicated_spans(
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    unpersist_into: list | None = None,
 ) -> DataFrame:
     """Exact-substring dedup SURGERY: cut every token covered by a word
     n-gram that occurs in >= 2 distinct documents, and reassemble the
@@ -241,6 +250,10 @@ def remove_duplicated_spans(
         "_id", F.posexplode(gram_keys).alias("_pos", "_k")
     )
     grams = grams.persist()
+    # NOT unpersisted here (lazy result) — unpersist_into=[] hands the
+    # persisted frame to the caller for release after materialization
+    if unpersist_into is not None:
+        unpersist_into.append(grams)
     # cross-document frequency: in how many DISTINCT docs does the gram
     # occur (>= 2 → duplicated; same-doc repeats alone don't count)
     dfreq = grams.groupBy("_k").agg(
@@ -370,8 +383,6 @@ def salient_terms(
     )
     tf = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("df_docs"))
-    from pyspark.sql import Window
-
     w = Window.partitionBy("_id").orderBy(
         F.desc("tf"), F.asc("df_docs"), F.asc("_t")
     )
@@ -481,6 +492,12 @@ def pack_sequences(
     # is the global id order. One 1-row action for the id span (same
     # pattern as the streaming watermark max / k-means centroid collect).
     max_id = wc.agg(F.max("_id")).first()[0]
+    if max_id is None:  # empty corpus tick → empty result, same schema
+        return wc.select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.lit(0).cast("bigint").alias("bin_id"),
+        )
     span = max(1, (int(max_id) + n_buckets) // n_buckets)
     wc = wc.withColumn("_b", (F.col("_id") / span).cast("bigint"))
 

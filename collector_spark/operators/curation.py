@@ -230,5 +230,7 @@ def source_mix_weights(
         "n_tokens",
         F.round(actual, 6).alias("actual_share"),
         F.round(target, 6).alias("target_share"),
-        F.round(target / actual, 6).alias("weight"),
+        # try_divide: a zero-token source yields NULL weight (matches
+        # DuckDB /0 → NULL) instead of an ANSI-mode runtime error
+        F.round(F.try_divide(target, actual), 6).alias("weight"),
     )

@@ -48,6 +48,8 @@ def post_with_retries(
     batch manifest can surface per-sink retry counts."""
     import time as _time
 
+    if attempts < 1:  # a silent no-post then `raise None` otherwise
+        raise ValueError(f"attempts must be >= 1, got {attempts}")
     last_err = None
     for attempt in range(attempts):
         if attempt and retries_acc is not None:

@@ -84,7 +84,6 @@ class FileSource:
         self._spill_seq = 0
         self._pending_spills: list[str] = []
         self._pending_deletes: list[tuple[str, int]] = []
-        self._deleted_paths: set[str] = set()
 
     def _spill_tail(self, fpath: str, offset: int, size: int) -> str:
         """Copy bytes [offset, size) to a spill file in bounded chunks."""
@@ -127,12 +126,6 @@ class FileSource:
             for fpath, consumed in deletes:
                 if os.path.exists(fpath) and os.path.getsize(fpath) == consumed:
                     os.remove(fpath)
-                    # remember so the next read_new drops the stale state
-                    # offset: if the same path is later RECREATED (log
-                    # rotation) with size >= the old offset, the shrink
-                    # reset wouldn't fire and the head would be silently
-                    # skipped (reference keeps no state in delete mode)
-                    self._deleted_paths.add(fpath)
 
     def read_new(
         self, spark: SparkSession, state: dict | None
@@ -144,12 +137,6 @@ class FileSource:
         self._pending_spills = []
         self._pending_deletes = []
         self._clean_spill()
-        # paths we deleted at the last commit: drop their offsets so a
-        # recreated file is read from byte 0 (at-least-once permits the
-        # duplicate re-read this can imply after a partial restart)
-        for p in self._deleted_paths:
-            state.pop(p, None)
-        self._deleted_paths.clear()
         lines: list[str] = []
         spilled: list[str] = []
         for fpath in sorted(_glob.glob(self.path)):
@@ -173,9 +160,16 @@ class FileSource:
             if self.delete and size == state.get(fpath, 0):
                 # deletion deferred to commit_read(True): a failed batch
                 # must keep the file for the re-read (at-least-once).
-                # The state entry is KEPT so bytes appended during the
-                # batch resume from the committed offset if the file
-                # grew (commit_read skips deleting a grown file).
+                # Delete mode keeps NO state entry (reference behavior:
+                # internal/input/file state exists only in non-delete
+                # mode): a persisted offset for a deleted path would
+                # silently skip the head of a same-named recreated file
+                # (log rotation) after a failed batch or restart. The
+                # cost is a duplicate re-read when the file GREW during
+                # the batch (commit skips deleting a grown file and the
+                # next tick restarts at byte 0) — at-least-once permits
+                # duplicates, never loss.
+                state.pop(fpath, None)
                 self._pending_deletes.append((fpath, size))
         self._pending_spills.extend(spilled)
         df = spark.createDataFrame([(l,) for l in lines] or [], "value: string")

@@ -116,6 +116,18 @@ MACRO_TRUTH = {
     'event.nums.filter(n, n >= 10).size() > 0 ? event.tags.exists_one(t, t == "beta") : event.code == 7': [
         False, True, False, False,
     ],
+    # literal needle against a map literal ('k' in {...}) — a constant
+    # rule that must COMPILE on all backends (SqlCompiler used to crash
+    # with AttributeError on the non-path operand)
+    '"alpha" in {"alpha": 1, "gamma": 2}': [True, True, True, True],
+    # /0 inside map(): a NULL element on every backend (Spark
+    # try_divide, DuckDB NULL, Python None) — size() still counts it;
+    # never an ANSI-mode runtime error killing the job
+    "event.nums.map(n, 6 / (n - 1)).size() == 3": [True, False, False, False],
+    # top-level /0 and %0 → NULL (Spark/DuckDB) or eval error (Python),
+    # all non-match — no backend may raise at execution time
+    "event.code / (event.code - event.code) == 1": [False, False, False, False],
+    "event.code % (event.code - event.code) == 0": [False, False, False, False],
 }
 
 

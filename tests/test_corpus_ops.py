@@ -244,3 +244,29 @@ def test_hash_split_rejects_nothing_and_covers_all_rows(spark):
     out = hash_split(df)
     assert out.count() == 500
     assert out.filter(out.split.isNull()).count() == 0
+
+
+def test_pack_sequences_empty_corpus_returns_empty(spark):
+    from collector_spark.operators.corpus import pack_sequences
+
+    out = pack_sequences(
+        spark.createDataFrame([], "doc_id long, text string"), budget=10
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_tokens", "bin_id"]
+
+
+def test_dup_span_profile_unpersist_handoff(spark):
+    from collector_spark.operators.corpus import (
+        dup_span_profile,
+        remove_duplicated_spans,
+    )
+
+    rows = [(1, "a b c d e f"), (2, "a b c d e g")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for op in (dup_span_profile, remove_duplicated_spans):
+        handoff = []
+        op(df, n=5, unpersist_into=handoff).collect()
+        assert len(handoff) == 1
+        for frame in handoff:
+            frame.unpersist()

@@ -9,7 +9,9 @@ import __spark_entry__ as entry_mod
 from collector_spark.plans.inspect import executed_plan
 
 # intentional cross joins: small broadcast side by construction
-CROSS_JOIN_OK = {"ann_cosine_topk"}
+# (brute-force ANN against a tiny query set; 1-row broadcast scalar
+# aggregates in unigram_logprob (T,V) and high_balance_inactive (avg))
+CROSS_JOIN_OK = {"ann_cosine_topk", "unigram_logprob", "high_balance_inactive"}
 
 QUERIES = entry_mod.queries()
 

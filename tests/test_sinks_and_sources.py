@@ -345,6 +345,30 @@ def test_file_source_delete_deferred_to_commit(spark, tmp_path):
     assert not log.exists()
 
 
+def test_file_source_delete_mode_persists_no_offset_for_recreated_file(
+    spark, tmp_path
+):
+    """Delete mode keeps NO state entry (reference stores state only in
+    non-delete mode): a recreated same-named file (log rotation) must be
+    read from byte 0 even after restarts or failed batches — a persisted
+    stale offset would silently skip its head when the new size exceeds
+    the old offset (data loss; at-least-once allows dupes, never loss)."""
+    log = tmp_path / "a.log"
+    log.write_text("one\ntwo\n")
+    src = FileSource(str(tmp_path / "*.log"), delete=True)
+    df, state = src.read_new(spark, None)
+    assert df.count() == 2
+    assert str(log) not in state  # nothing to go stale
+    src.commit_read(True)
+    assert not log.exists()
+    # recreated LARGER than the old 8-byte offset; a fresh source object
+    # simulates a restart (only the committed state survives)
+    log.write_text("alpha\nbeta\ngamma\n")
+    src2 = FileSource(str(tmp_path / "*.log"), delete=True)
+    df2, _ = src2.read_new(spark, state)
+    assert sorted(r.value for r in df2.collect()) == ["alpha", "beta", "gamma"]
+
+
 def test_run_tick_does_not_ack_failed_dropped_batch_without_manifest(spark, tmp_path):
     """With no manifest, a swallowed sink failure (on_error='drop') must
     still be treated as uncommitted — receipts are NOT acked."""
