@@ -87,3 +87,74 @@ def test_pack_sequences_matches_python_model(spark, sizes, budget, n_buckets):
     }
     expect = _py_pack([(i * 3, s) for i, s in enumerate(sizes)], budget)
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Curation ops vs pure-Python models on random corpora
+# ---------------------------------------------------------------------------
+
+def _py_budget_select(rows, budget):
+    # rows: (doc_id, score, n_tokens); greedy by (score desc, id asc)
+    out, cum = {}, 0
+    for i, s, n in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += n
+        if cum <= budget:
+            out[i] = (s, n, cum)
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(_DOC, min_size=1, max_size=12),
+    budget=st.integers(1, 40),
+    # coarse score grid → frequent ties exercise the id tiebreak
+    scores=st.data(),
+)
+def test_token_budget_select_matches_python_model(spark, corpus, budget, scores):
+    from pyspark.sql import functions as F
+
+    from collector_spark.operators.curation import token_budget_select
+
+    svals = [
+        scores.draw(st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0]))
+        for _ in corpus
+    ]
+    df = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(zip(corpus, svals))],
+        "doc_id long, text string, s double",
+    )
+    got = {
+        r.doc_id: (r.score, r.n_tokens, r.cum_tokens)
+        for r in token_budget_select(
+            df, budget, F.col("s"), n_buckets=4
+        ).collect()
+    }
+    rows = [(i, s, len(t.split())) for i, (t, s) in enumerate(zip(corpus, svals))]
+    assert got == _py_budget_select(rows, budget)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=30, unique=True))
+def test_deterministic_shuffle_rank_matches_python_model(spark, ids):
+    import hashlib
+
+    from collector_spark.operators.curation import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.position
+        for r in deterministic_shuffle(df.repartition(5), "seed").collect()
+    }
+    keys = {i: hashlib.md5(f"seed|{i}".encode()).hexdigest() for i in ids}
+    want = {
+        i: rank + 1 for rank, i in enumerate(sorted(ids, key=lambda i: keys[i]))
+    }
+    assert got == want
