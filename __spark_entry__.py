@@ -483,9 +483,11 @@ def _sql_minhash_lsh() -> str:
     )
     return f"""
 WITH base AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000, text || ' tail marker' FROM documents
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' tail marker' FROM documents
+  ) WHERE trim(text) <> ''
 ),
 words AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') ws
@@ -551,9 +553,11 @@ def _sql_simhash_pairs() -> str:
     )
     return f"""
 WITH base AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000, text FROM documents
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents
+  ) WHERE trim(text) <> ''
 ),
 toks AS (
   SELECT doc_id,

@@ -89,14 +89,21 @@ class Manifest:
         return out
 
     def last_state(self) -> dict:
-        """Resume token: source state of the last committed batch
-        (reference LoadState, internal/cli/state.go:28-37)."""
+        """Resume token: source state of the HIGHEST committed batch id
+        (reference LoadState, internal/cli/state.go:28-37). Not
+        records[-1]: commit() of a replayed older batch rewrites that
+        record at the END of the file, and taking insertion order would
+        roll the resume token back — the next tick would then reuse an
+        already-committed batch id, skip the freshly-read data as a
+        duplicate, and still ack it (data loss)."""
         records = self.load()
-        return records[-1].source_state if records else {}
+        if not records:
+            return {}
+        return max(records, key=lambda r: r.batch_id).source_state
 
     def last_batch_id(self) -> int:
         records = self.load()
-        return records[-1].batch_id if records else -1
+        return max((r.batch_id for r in records), default=-1)
 
     def committed(self, batch_id: int) -> bool:
         return any(r.batch_id == batch_id for r in self.load())

@@ -45,8 +45,20 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
     Shuffles md5 of the concatenated key instead of the raw key when the
     key includes long strings — 16 bytes per row on the wire.
+
+    NULLs are encoded with a \\x00 sentinel per column: concat_ws SKIPS
+    nulls, so ('x', NULL) and (NULL, 'x') would otherwise concatenate to
+    the same key and merge non-duplicate rows.
     """
-    key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols]))
+    key = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in key_cols
+            ],
+        )
+    )
     return (
         df.withColumn("_k", key)
         .groupBy("_k")
@@ -166,6 +178,12 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
+    # shingle-less docs (empty/whitespace text) are EXCLUDED: they all
+    # share the zero signature, so every band would bucket them together
+    # — 100k scrubbed-empty rows would emit ~5e9 pair structs inside ONE
+    # bucket row (executor OOM), all "verifying" at est_jaccard 1.0.
+    # Exact-empty duplicates belong to exact_dedup, not LSH.
+    df = df.filter(F.trim(F.col(text_col)) != "")
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
     # the signature table is referenced 3x downstream (the banded table
     # + both verify joins): materialize ONCE — without this the
@@ -276,17 +294,28 @@ def ngram_jaccard_pairs(
     # (O(words^2) per doc; Catalyst does not hoist it out of the lambda)
     words = F.col("_w")
     n_sh = F.greatest(F.size(words) - (shingle_n - 1), F.lit(1))
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_n)),
+    # empty/whitespace-only text has NO shingles (oracle.word_shingles('')
+    # is the empty set — split would yield [''] and mint a bogus
+    # ''-shingle that verifies two empty docs at jaccard 1.0); candidate
+    # pairs with a shingle-less side drop out of the result entirely
+    # (no defined overlap)
+    shingles = F.when(
+        F.size(words) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_sh - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_n)),
+            )
         )
     )
     from pyspark import StorageLevel
 
+    empty_safe = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
     tokens = df.select(
-        F.col(id_col).alias("_id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+        F.col(id_col).alias("_id"), empty_safe.alias("_w")
     ).select("_id", F.explode(shingles).alias("_sh"))
     tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
     if unpersist_into is not None:
@@ -378,8 +407,23 @@ def connected_components(
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
 
     def _checksum(lbls: DataFrame):
+        # type-safe change detector: sum of per-row hashes of (id,
+        # component). Works for string/uuid ids too — a numeric cast
+        # would go NULL there, making the sum NULL every round and
+        # stopping the loop after round 1 with wrong components. Any
+        # row's label change alters >= 1 term; the failure mode is a
+        # ~2^-64-probability sum collision stopping one round early
+        # (an exact changed-row count would cost an extra join per
+        # round — not worth it against those odds).
         return lbls.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            F.sum(
+                # decimal sum: int64 hash terms would overflow long
+                # under ANSI on ~2+ row graphs
+                F.xxhash64(
+                    F.col("id").cast("string"),
+                    F.col("component").cast("string"),
+                ).cast("decimal(38,0)")
+            ).alias("s")
         ).collect()[0]["s"]
 
     # init = the first propagation round for free: label(id) =
@@ -554,6 +598,9 @@ def simhash_near_pairs(
     """
     bands = max_hamming + 1
     width = 64 // bands
+    # token-less docs all share fingerprint 0 → one degenerate bucket
+    # (same blowup as the minhash zero signature); exclude them
+    df = df.filter(F.trim(F.col(text_col)) != "")
     fp = simhash_fingerprints(df, text_col, id_col)
 
     def band_value(i: int):

@@ -50,7 +50,10 @@ def cosine_col(a: Column, b: Column) -> Column:
             lambda acc, v: acc + v,
         )
 
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    # try_divide: an all-zero vector has norm 0 → cosine NULL (never an
+    # ANSI divide-by-zero error); ranking call sites filter NULL scores,
+    # so zero vectors simply have no neighbors (documented convention)
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
 def brute_force_topk(
@@ -80,6 +83,7 @@ def brute_force_topk(
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())  # zero-norm convention
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -170,6 +174,11 @@ def add_band_sketches(
     out_col: str = "band_keys",
     quantized: bool = False,
 ) -> DataFrame:
+    from collector_spark.operators.dedup import _ensure_udf_parallelism
+
+    # CPU-heavy sketch UDF must not inherit a thin scan's 1-2 partitions
+    # (same guard as the minhash/simhash hash stages)
+    df = _ensure_udf_parallelism(df)
     return df.withColumn(
         out_col,
         _make_band_sketch_udf(dim, bands, band_bits, seed, quantized)(F.col(vec_col)),
@@ -230,7 +239,9 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     sim = F.round(cosine_col(F.col("query_vec"), F.col("neighbor_vec")), 6)
-    scored = cand.select("query_id", "neighbor_id", sim.alias("cosine"))
+    scored = cand.select("query_id", "neighbor_id", sim.alias("cosine")).filter(
+        F.col("cosine").isNotNull()  # zero-norm convention (cosine_col)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -272,10 +283,6 @@ def _make_assign_udf_from(planes: np.ndarray, n_probe: int):
     return F.pandas_udf(udf, T.ArrayType(T.IntegerType()))
 
 
-def _make_assign_udf(dim: int, n_centroids: int, seed: int, n_probe: int):
-    return _make_assign_udf_from(_centroids(dim, n_centroids, seed), n_probe)
-
-
 def kmeans_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -302,23 +309,26 @@ def kmeans_centroids(
     vecs = corpus.select(F.col(vec_col).alias("_v")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    for _ in range(n_iter):
-        assign = _make_assign_udf_from(planes, 1)
-        assigned = vecs.select(
-            F.explode(assign(F.col("_v"))).alias("list_id"), F.col("_v")
-        )
-        means = (
-            assigned.groupBy("list_id")
-            .agg(*[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)])
-            .collect()
-        )
-        new_planes = planes.copy()  # empty clusters keep their centroid
-        for row in means:
-            new_planes[row["list_id"]] = [row[f"c{i}"] for i in range(dim)]
-        norms = np.linalg.norm(new_planes, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        planes = new_planes / norms
-    vecs.unpersist()
+    try:
+        for _ in range(n_iter):
+            assign = _make_assign_udf_from(planes, 1)
+            assigned = vecs.select(
+                F.explode(assign(F.col("_v"))).alias("list_id"), F.col("_v")
+            )
+            means = (
+                assigned.groupBy("list_id")
+                .agg(*[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)])
+                .collect()
+            )
+            new_planes = planes.copy()  # empty clusters keep their centroid
+            for row in means:
+                new_planes[row["list_id"]] = [row[f"c{i}"] for i in range(dim)]
+            norms = np.linalg.norm(new_planes, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            planes = new_planes / norms
+    finally:
+        # a failed iteration must not leak the cached corpus projection
+        vecs.unpersist()
     return planes
 
 
@@ -390,6 +400,7 @@ def ivf_topk(
         q.join(c, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())  # zero-norm convention
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -406,6 +417,7 @@ def embedding_near_dup_pairs(
     bands: int = 8,
     band_bits: int = 16,
     seed: int = 42,
+    unpersist_into: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold) via the same banded sign-sketch candidate generation.
@@ -422,7 +434,16 @@ def embedding_near_dup_pairs(
     materialize a degenerate bucket (e.g. 1M boilerplate vectors ×
     256 B = 256 MB) in ONE aggregation row — the join streams the same
     pair volume without that single-row memory cliff."""
+    from pyspark import StorageLevel
+
     banded = band_explode(df, id_col, vec_col, dim, bands, band_bits, seed)
+    # the banded table is BOTH sides of the self-join: without persist
+    # the pandas-UDF sketch stage runs twice (CLAUDE.md: a frame
+    # referenced N times recomputes N times). Same unpersist_into
+    # hand-off contract as minhash_lsh_pairs.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    if unpersist_into is not None:
+        unpersist_into.append(banded)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(

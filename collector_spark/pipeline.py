@@ -46,7 +46,9 @@ class PipelineConfig:
     """One instance config (reference pkg/core/config.go:3-7 — Input,
     Processors[], Outputs[] — with the router generalization)."""
 
-    instance_id: str
+    # default "" so a .conf omitting it falls back to the filename in
+    # from_file (reference CLI behavior) instead of a TypeError
+    instance_id: str = ""
     # optional config-driven input {kind, ...} (reference Config.Input,
     # pkg/core/config.go:3-7); when present, run_tick() drives the full
     # read-new → process → outputs → commit-state loop

@@ -387,3 +387,27 @@ def test_config_dir_loading(tmp_path):
 
     instances = load_instances(str(tmp_path))
     assert list(instances) == ["myinst"]
+
+
+def test_manifest_replay_of_old_batch_does_not_roll_back_resume_token(tmp_path):
+    """commit() of a replayed OLDER batch rewrites its record at the end
+    of the manifest file; last_batch_id/last_state must still answer by
+    MAX batch id, or the next tick reuses a committed id, skips the
+    fresh read as a duplicate, and acks unwritten data."""
+    from collector_spark.checkpoint import BatchRecord, Manifest
+
+    m = Manifest(str(tmp_path / "state"), "replay")
+    for b in (0, 1, 2):
+        m.commit(BatchRecord(batch_id=b, source_state={"off": b * 10}))
+    m.commit(BatchRecord(batch_id=1, source_state={"off": 99}))  # replay
+    assert m.last_batch_id() == 2
+    assert m.last_state() == {"off": 20}
+
+
+def test_pipeline_config_file_without_instance_id_uses_filename(tmp_path):
+    from collector_spark.pipeline import PipelineConfig
+
+    p = tmp_path / "my_instance.conf"
+    p.write_text('{"sinks": []}')
+    cfg = PipelineConfig.from_file(str(p))
+    assert cfg.instance_id == "my_instance"

@@ -439,3 +439,65 @@ def test_multimodal_plumbing(spark):
     with pytest.raises(Exception) as ei:
         multimodal.extract_media_features(df, strict=True).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_exact_dedup_nulls_in_different_key_positions_do_not_collide(spark):
+    from collector_spark.operators.dedup import exact_dedup
+
+    rows = [(1, "x", None), (2, None, "x"), (3, "x", None)]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    out = {r.id: r.dup_count for r in exact_dedup(df, ["a", "b"], "id").collect()}
+    # ('x', NULL) twice → one group of 2; (NULL, 'x') alone → its own group
+    assert out == {1: 2, 2: 1}
+
+
+def test_connected_components_works_with_string_ids(spark):
+    """The convergence checksum must be type-safe: a numeric cast of
+    uuid/url ids goes NULL, stopping the loop after one round with
+    wrong components on any chain longer than the init+1-jump reach."""
+    from collector_spark.operators.dedup import connected_components
+
+    n = 9  # one chain u0-u1-...-u8: needs >1 pointer-jump round
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"u{i+1}") for i in range(n - 1)], "id_a string, id_b string"
+    )
+    got = connected_components(edges).collect()
+    assert {r.component for r in got} == {"u0"}
+    assert len(got) == n
+
+
+def test_ngram_jaccard_empty_docs_are_never_near_dups(spark):
+    """oracle.word_shingles('') is the empty set — two empty docs must
+    not verify at jaccard 1.0 via a bogus ''-shingle (pairs with a
+    shingle-less side drop out entirely)."""
+    from collector_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b c d"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           ngram_jaccard_pairs(docs, cand, threshold=0.0).collect()}
+    assert (1, 2) not in got
+    assert got[(3, 4)] == 1.0
+
+
+def test_minhash_and_simhash_exclude_empty_docs_from_banding(spark):
+    """Scrubbed-empty docs all share the zero signature/fingerprint —
+    one degenerate bucket of k docs would emit O(k^2) pairs in a single
+    aggregation row. They are excluded from LSH entirely (exact_dedup
+    owns exact-empty duplicates)."""
+    from collector_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+
+    rows = [(i, "") for i in range(20)] + [(100, "a b c d e"), (101, "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = minhash_lsh_pairs(df).select("id_a", "id_b").collect()
+    assert {(r.id_a, r.id_b) for r in mh} == {(100, 101)}
+    sh = simhash_near_pairs(df, max_hamming=0).select("id_a", "id_b").collect()
+    assert {(r.id_a, r.id_b) for r in sh} == {(100, 101)}
