@@ -203,10 +203,12 @@ def native_cef_struct_col(col: Column) -> Column:
     first = arr[0]
     has_colon = first.contains(":")
     version = F.when(
-        has_colon, F.regexp_extract(first, "^CEF:(.*)$", 1)
+        # segment between the 1st and 2nd colon (cef.go:52-61 —
+        # 'CEF:0:junk' → '0'); split always has index 2 when has_colon
+        has_colon, F.element_at(F.split(first, ":"), 2)
     ).otherwise(first)
     version_ok = F.when(has_colon, first.rlike("^CEF:")).otherwise(
-        first.rlike("^\\s*[+-]?[0-9]+\\s*$")  # Python int() acceptance
+        first.rlike("^[+-]?[0-9]{1,18}$")  # strconv.Atoi acceptance
     )
     valid = (F.size(arr) >= 7) & version_ok
 
@@ -263,7 +265,14 @@ class KvParser:
     operational: executors without Python, full codegen fusion).
     engine='pandas' (default) runs the shared-oracle UDF (general path;
     byte-identical by construction). Both engines are fuzz-proven equal
-    on thousands of adversarial lines (tests/test_processors_spark.py).
+    on thousands of adversarial ASCII lines
+    (tests/test_processors_spark.py). KNOWN DIVERGENCE on non-ASCII
+    whitespace: the oracle path tokenizes with Python's unicode-aware
+    str.split()/str.strip() (mirroring Go's strings.Fields/TrimSpace in
+    the reference), while the native path uses Java's ASCII \\s and an
+    ASCII btrim set — a line containing U+00A0/U+0085 etc. splits
+    differently. Unicode-whitespace inputs are the pandas engine's job
+    (same ASCII caveat as the documented CEF \\w note below).
     """
 
     def __init__(

@@ -19,9 +19,11 @@ from pyspark.sql import functions as F
 _PRI = r"^<([0-9]{1,3})>"
 # RFC3164: <PRI>Mmm dd hh:mm:ss host MSG   (day may be space-padded)
 _RFC3164_MSG = r"^<[0-9]{1,3}>[A-Z][a-z]{2} [ 0-9][0-9] [0-9]{2}:[0-9]{2}:[0-9]{2} \S+ (.*)$"
-# RFC5424: <PRI>VER TS HOST APP PROCID MSGID SD MSG ; SD = '-' or [..] groups
+# RFC5424: <PRI>VER TS HOST APP PROCID MSGID SD MSG ; SD is '-' XOR
+# adjacent [..] groups (exclusive — mixing let a '-' swallow a
+# '[...]'-leading MSG head as fake SD; oracle._RFC5424_RE matches)
 _RFC5424_MSG = (
-    r"^<[0-9]{1,3}>[1-9][0-9]{0,2} \S+ \S+ \S+ \S+ \S+(?: -| \[[^\]]*\])+ (.*)$"
+    r"^<[0-9]{1,3}>[1-9][0-9]{0,2} \S+ \S+ \S+ \S+ \S+ (?:-|(?:\[[^\]]*\])+) (.*)$"
 )
 
 

@@ -120,7 +120,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score_col(df_or_text=None, text_col: str = "text") -> Column:
+def quality_score_col(text_col: str = "text") -> Column:
     """Composite quality score in [0,1]: rewards sane length, mixed case,
     stopword presence; penalizes punctuation soup. Fully deterministic
     and reproducible in SQL."""
@@ -146,9 +146,12 @@ def quality_score_sql(col: str) -> str:
     n_chars = f"length({col})"
     punct = f"length(regexp_replace({col}, '[^.!?,;:]', '', 'g'))"
     stops = f"len(list_filter({toks}, w -> list_contains([{stop_list}], lower(w))))"
+    # operand ORDER must match quality_score_col exactly: (x / g) * 5.0
+    # and x * 5.0 / g produce different doubles (0.043750000000000004 vs
+    # 0.04375 at stops=7, n=800) that round differently at 4 decimals
     len_score = f"least({n_tokens} / 100.0, 1.0)"
-    stop_score = f"least({stops} * 5.0 / greatest({n_tokens}, 1), 1.0)"
-    punct_pen = f"least({punct} * 5.0 / greatest({n_chars}, 1), 1.0)"
+    stop_score = f"least(({stops} / greatest({n_tokens}, 1)) * 5.0, 1.0)"
+    punct_pen = f"least(({punct} / greatest({n_chars}, 1)) * 5.0, 1.0)"
     return f"round({len_score} * 0.4 + {stop_score} * 0.4 + (1.0 - {punct_pen}) * 0.2, 4)"
 
 
@@ -201,11 +204,24 @@ def distinct_token_ratio_sql(col: str) -> str:
     )
 
 
-def _fingerprint_udf():
-    def udf(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: oracle.rolling_fingerprint(t or ""))
+_FP_UDF = None
 
-    return F.pandas_udf(udf, T.LongType())
+
+def _fingerprint_udf():
+    # cached: a fresh pandas_udf object per call is wasted driver work
+    global _FP_UDF
+    if _FP_UDF is None:
+
+        def udf(s: pd.Series) -> pd.Series:
+            # NULL text → NULL fingerprint (not fingerprint(''), which
+            # would silently collide NULL docs with empty docs in
+            # fingerprint-keyed grouping)
+            return s.map(
+                lambda t: None if t is None else oracle.rolling_fingerprint(t)
+            )
+
+        _FP_UDF = F.pandas_udf(udf, T.LongType())
+    return _FP_UDF
 
 
 def fingerprint_col(text: Column) -> Column:

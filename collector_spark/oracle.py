@@ -174,15 +174,19 @@ def parse_cef(line: str) -> dict:
 
     first = arr[0]
     if ":" in first:
-        prefix, _, ver = first.partition(":")
-        if prefix != "CEF":
+        # reference: strings.Split(arr[0], ":")[1] — ONLY the segment
+        # between the first and second colon ('CEF:0:junk' → '0', not
+        # '0:junk'; cef.go:52-61)
+        validate = first.split(":")
+        if validate[0] != "CEF":
             raise ParseError("invalid CEF format")
-        version = ver
+        version = validate[1]
     else:
-        try:
-            int(first)
-        except ValueError:
-            raise ParseError("invalid CEF format") from None
+        # strconv.Atoi acceptance: ASCII digits with optional sign, NO
+        # whitespace/underscores/unicode digits (Python int() takes all
+        # of those); 18-digit bound stands in for Atoi's int64 range
+        if not re.fullmatch(r"[+-]?[0-9]{1,18}", first):
+            raise ParseError("invalid CEF format")
         version = first
 
     extensions_raw = "|".join(arr[7:])
@@ -236,10 +240,14 @@ _RFC3164_RE = re.compile(
 )
 
 # RFC5424: "<PRI>VERSION TS HOST APP PROCID MSGID [SD] MSG"
+# STRUCTURED-DATA is NILVALUE ('-') *or* adjacent '[..]' elements — an
+# exclusive alternation. The old '(?: -| \[.*?\])+' mixed them, so after
+# a '-' it would swallow a '[...]'-leading MSG head as fake SD
+# ('... ID47 - [warn] disk full' lost '[warn]'); go-syslog keeps it.
 _RFC5424_RE = re.compile(
     r"^<(?P<pri>\d{1,3})>(?P<ver>[1-9]\d{0,2}) "
     r"(?P<ts>\S+) (?P<host>\S+) (?P<app>\S+) (?P<procid>\S+) (?P<msgid>\S+)"
-    r"(?P<sd>(?: -| \[.*?\])+)?"
+    r" (?P<sd>-|(?:\[.*?\])+)"
     r"(?: (?P<msg>.*))?$",
     re.DOTALL,
 )

@@ -36,8 +36,14 @@ from collector_spark.oracle import variable_replace
 
 
 def _non_empty():
-    # built lazily: Column construction needs an active SparkSession
-    return F.coalesce(F.length(F.trim("value")) > 0, F.lit(False))
+    # built lazily: Column construction needs an active SparkSession.
+    # Whitespace CLASS, not F.trim (spaces only): a tab/CR-only value is
+    # EMPTY, matching the reference's TrimSpace'd lines
+    # (pkg/core/tmp_writer.go:54-56) and the FileSource edge-trim class
+    return F.coalesce(
+        F.length(F.regexp_replace(F.col("value"), r"^\s+|\s+$", "")) > 0,
+        F.lit(False),
+    )
 
 
 def _observe_lines(out: DataFrame) -> tuple[DataFrame, Observation]:
@@ -70,12 +76,26 @@ class _BaseSink:
 
     def __init__(self, path: str | None = None, **_):
         self.path = path
+        self._resolved: dict[int, str] = {}
 
     def target(self, batch_id: int | None) -> str:
-        p = _templated(self.path)
-        if batch_id is not None:
-            p = os.path.join(p, f"batch_id={batch_id}")
-        return p
+        """Per-batch output location. %time% templates are resolved ONCE
+        per batch id and cached, so an in-process retry of batch N after
+        a time-boundary crossing overwrites the SAME location instead of
+        leaving the failed attempt's partial output under the old hour
+        (idempotence contract above). A retry after a process RESTART
+        re-resolves with the new wall clock — the stale partial dir from
+        the crashed attempt survives under the old template expansion;
+        unavoidable without persisting per-batch timestamps pre-commit
+        (the reference has the same wall-clock templating semantics,
+        variable_replacer.go:12-36)."""
+        if batch_id is None:
+            return _templated(self.path)
+        if batch_id not in self._resolved:
+            if len(self._resolved) > 64:  # daemon hygiene: old ids never recur
+                self._resolved.clear()
+            self._resolved[batch_id] = _templated(self.path)
+        return os.path.join(self._resolved[batch_id], f"batch_id={batch_id}")
 
 
 class ParquetSink(_BaseSink):
@@ -214,12 +234,22 @@ class GcsSink(FileSink):
             return super().write(df, batch_id=batch_id)
         # composite append: accumulate parts under ONE object prefix;
         # count comes from the write action itself (observe), so it cannot
-        # disagree with what was appended for non-deterministic inputs
+        # disagree with what was appended for non-deterministic inputs.
+        # Each batch's part is a batch-keyed subdir written with
+        # OVERWRITE: a bare mode('append') to the prefix would duplicate
+        # the rows on at-least-once replay of an uncommitted batch
         target = _templated(self.path)
+        if batch_id is not None:
+            target = os.path.join(target, f"part_batch_id={batch_id}")
+            mode = "overwrite"
+        else:
+            mode = "append"
         out = df.select(F.col(self.value_col).cast("string").alias("value"))
         out, obs = _observe_lines(out)
         out = out.filter(_non_empty())
-        w = out.write.mode("append")
+        w = out.write.mode(mode)
+        if self.max_records:
+            w = w.option("maxRecordsPerFile", str(self.max_records))
         if self.gzip:
             w = w.option("compression", "gzip")
         w.text(target)

@@ -270,3 +270,28 @@ def test_extract_log_lines_parseable(spark):
     assert len(json_lines) == 32
     for l in json_lines:
         assert set(json.loads(l)) == {"code", "status", "bytes", "path"}
+
+
+def test_syslog_rfc5424_nil_sd_keeps_bracket_leading_msg(spark):
+    """STRUCTURED-DATA is '-' XOR adjacent [..] elements: after a NIL
+    SD, a '[...]'-leading MSG must survive intact (the old regex
+    swallowed it as fake SD); adjacent SD elements also parse."""
+    lines = [
+        "<34>1 2003-10-11T22:14:15.003Z host app 123 ID47 - [warn] disk full",
+        '<34>1 T H A P M [id a="1"][id2 b="2"] hello world',
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    got = [r.value for r in SyslogParser("rfc5424").apply(df).collect()]
+    assert got == [oracle.syslog_rfc5424(l) for l in lines]
+    assert got == ["[warn] disk full", "hello world"]
+
+
+def test_cef_version_is_first_colon_segment_both_engines(spark):
+    """cef.go:52-61 takes only the segment between the 1st and 2nd
+    colon; non-Atoi bare versions are dropped by both engines."""
+    line = "CEF:0:junk|v|p|1.0|id|name|5|src=1.2.3.4"
+    df = spark.createDataFrame([(line,), ("1_2|v|p|1.0|id|name|5|src=a",)], ["value"])
+    for engine in ("pandas", "native"):
+        out = KvParser(type="cef", engine=engine).apply(df).collect()
+        assert len(out) == 1, engine  # the 1_2 version line is dropped
+        assert out[0].parsed.version == "0", engine

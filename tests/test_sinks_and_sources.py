@@ -477,3 +477,43 @@ def test_parquet_sink_partition_by(spark, tmp_path):
     n = sink.write(df, batch_id=0)
     assert n == 3
     assert (tmp_path / "p" / "batch_id=0" / "part=a").exists()
+
+
+def test_gcs_composite_batch_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay of an UNCOMMITTED batch must not duplicate
+    composite-append output: each batch's part is a batch-keyed subdir
+    written with overwrite (a bare append to the prefix doubled rows)."""
+    from collector_spark.sinks.sinks import GcsSink
+
+    df = spark.createDataFrame([("x",), ("y",)], ["value"])
+    gcs = GcsSink(bucket=str(tmp_path / "g"), path="obj",
+                  composite=True, scheme="file")
+    assert gcs.write(df, batch_id=3) == 2
+    assert gcs.write(df, batch_id=3) == 2  # replay of the same batch
+    assert gcs.write(df, batch_id=4) == 2  # next batch appends a new part
+    obj = str(tmp_path / "g" / "obj")
+    assert spark.read.text(f"{obj}/part_batch_id=*").count() == 4
+
+
+def test_sink_empty_count_uses_whitespace_class(spark, tmp_path):
+    """Tab/CR-only values are EMPTY like the reference's TrimSpace'd
+    lines — F.trim (spaces only) used to count '\\t' as written."""
+    from collector_spark.sinks.sinks import FileSink
+
+    df = spark.createDataFrame([("x",), ("\t",), ("  ",), ("\r",)], ["value"])
+    sink = FileSink(path=str(tmp_path / "o"))
+    assert sink.write(df, batch_id=0) == 1
+    assert sink.last_metrics == {"written": 1, "empty": 3}
+
+
+def test_sink_time_template_pinned_per_batch(tmp_path):
+    """target() resolves %time% templates once per batch id, so an
+    in-process retry writes the SAME location even if the wall clock
+    crossed an hour boundary between attempts."""
+    from collector_spark.sinks.sinks import FileSink
+
+    sink = FileSink(path=str(tmp_path / "%year%/%month%/%day%/%hour%/o"))
+    first = sink.target(7)
+    sink._resolved[7] = sink._resolved[7]  # cache populated
+    assert sink.target(7) == first
+    assert sink.target(8).split("batch_id=")[0] is not None  # new id re-resolves
