@@ -1595,7 +1595,7 @@ def _duck_ngrams(n: int, where: str = "TRUE", distinct: bool = True) -> str:
     d = "DISTINCT " if distinct else ""
     return f"""
   SELECT {d}doc_id, source, array_to_string(t[i:i+{n - 1}], ' ') AS g
-  FROM (SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS t
+  FROM (SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS t
         FROM documents WHERE {where}),
        UNNEST(range(1, greatest(len(t)-{n - 1}, 0)+1)) AS r(i)"""
 
@@ -1678,7 +1678,7 @@ def _sql_span_removal(n: int = 5) -> str:
 WITH base AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-              ELSE list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') END AS t
+              ELSE list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') END AS t
   FROM documents),
 grams AS (
   SELECT doc_id, i-1 AS pos,
@@ -1750,7 +1750,7 @@ FROM (
                len(t) AS wc,
                len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS dr
         FROM (SELECT doc_id, lang,
-                     list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS t
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS t
               FROM documents)))
 """
 
@@ -1766,7 +1766,7 @@ def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SALIENT_TERMS = """
 WITH toks AS (
-  SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')) AS t
+  SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) AS t
   FROM documents WHERE trim(text) <> ''),
 tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t),
 dfq AS (SELECT t, COUNT(*) AS df_docs FROM tf GROUP BY t),
@@ -1791,7 +1791,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_VOCAB_TOPK = """
 SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
-FROM (SELECT UNNEST(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')) AS token
+FROM (SELECT UNNEST(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) AS token
       FROM documents WHERE trim(text) <> '')
 GROUP BY token ORDER BY cnt DESC, token LIMIT 50
 """
@@ -1841,7 +1841,7 @@ FROM (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
   FROM (SELECT doc_id,
                CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')) END AS n_tokens
+                    ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) END AS n_tokens
         FROM documents))
 """
 

@@ -67,15 +67,33 @@ class Catalog:
         """Bucketed table write: pre-shuffles ONCE at write time so every
         later join/agg on the bucket key is exchange-free (co-located) —
         the big repeated-join lever at 100 TB. With an Iceberg catalog
-        this is the bucket(N, col) partition transform; the builtin
-        catalog uses bucketBy + saveAsTable."""
+        this is the bucket(N, col) partition transform (storage-
+        partitioned joins); the builtin catalog uses bucketBy +
+        saveAsTable."""
+        if _iceberg_available(self.spark, name):
+            from pyspark.sql.functions import bucket, col
+
+            (
+                df.writeTo(name)
+                .partitionedBy(bucket(buckets, col(bucket_cols[0])))
+                .createOrReplace()
+            )
+            return
         (
             df.write.mode("overwrite")
             .bucketBy(buckets, *bucket_cols)
             .sortBy(*bucket_cols)
             .option("path", self._path(name))
-            .saveAsTable(name.replace(".", "_"))
+            .saveAsTable(self._session_name(name))
         )
 
     def read_bucketed(self, name: str) -> DataFrame:
-        return self.spark.table(name.replace(".", "_"))
+        if _iceberg_available(self.spark, name):
+            return self.spark.table(name)
+        return self.spark.table(self._session_name(name))
+
+    @staticmethod
+    def _session_name(name: str) -> str:
+        # session-catalog identifier for a dotted logical name; '__'
+        # separator so 'a.b' and 'a_b' cannot collide
+        return name.replace(".", "__")

@@ -66,6 +66,10 @@ def asof_join(
         F.lit(_RIGHT_MARKER).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
+    # NULL-timestamp RIGHT rows sort first under asc ordering and would
+    # become the backward match for EVERY left row (DuckDB ASOF returns
+    # no match for them); they can never satisfy right.ts <= left.ts
+    r = r.filter(F.col(ts_col).isNotNull())
     unioned = l.unionByName(r)
 
     if direction == "backward":
@@ -85,7 +89,13 @@ def asof_join(
         *left_cols,
         F.col("__side"),
         *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
+            # a NULL-ts LEFT row can satisfy neither ts bound (in the
+            # desc/forward ordering nulls sort LAST and would otherwise
+            # sweep up every right row)
+            F.when(
+                F.col(ts_col).isNotNull(),
+                F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w),
+            ).alias(c)
             for c in value_cols
         ],
     )

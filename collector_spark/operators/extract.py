@@ -19,7 +19,7 @@ Scale notes:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -32,8 +32,12 @@ def _extract_text_series(html: pd.Series) -> pd.Series:
     # strip <script>/<style> and collect <p> bodies, vectorized
     s = s.str.replace(oracle._SCRIPT_STYLE_RE, "", regex=True)
     paras = s.str.findall(oracle._P_RE)
+    # NULL html: the .str ops turn None into NaN (a float) — `is not
+    # None` passes it and join() then iterates a float; use pd.isna
     return paras.map(
-        lambda ps: "\n".join(oracle.html_unescape(p) for p in ps) if ps is not None else None
+        lambda ps: None
+        if not isinstance(ps, list)
+        else "\n".join(oracle.html_unescape(p) for p in ps)
     )
 
 

@@ -132,10 +132,13 @@ class JsonMutator:
             & col.startswith("{")
         )
         import json as _json
+        import re as _re
 
         for a in self.add:
             frag = _json.dumps({a["key"]: a["value"]}, separators=(",", ":"))[1:-1]
-            key_re = _json.dumps(a["key"])[1:-1]
+            # regex-ESCAPED form of the json-escaped key: a key like
+            # 'a+b' or 'f(x' must match literally, not as regex syntax
+            key_re = _re.escape(_json.dumps(a["key"])[1:-1])
             val_json = _json.dumps(a["value"], separators=(",", ":"))
             v = F.col(self.value_col)
             appended = F.when(
@@ -151,15 +154,30 @@ class JsonMutator:
                     F.lit("}"),
                 )
             )
-            # sjson.Set semantics: existing key is OVERWRITTEN. Native
-            # path rewrites scalar values in place (string/number/bool/
-            # null); keys holding nested objects need engine='pandas'.
-            exists = F.get_json_object(v, f"$.{a['key']}").isNotNull()
+            # sjson.Set semantics: existing key is OVERWRITTEN (true
+            # key-presence test via json_object_keys — get_json_object
+            # can't tell {"k":null} from a missing key, and the null
+            # case must overwrite, not append a duplicate key).
+            exists = F.array_contains(F.json_object_keys(v), a["key"])
             pattern = f'("{key_re}"\\s*:\\s*)("(?:[^"\\\\]|\\\\.)*"|[^,}}\\]]+)'
             replacement = "$1" + val_json.replace("\\", "\\\\").replace("$", "\\$")
             replaced = F.regexp_replace(v, pattern, replacement)
+            # the regex rewrite is GLOBAL and textual — it is only safe
+            # when the key's value is a scalar and the key string occurs
+            # exactly once in the line. A nested-object value or a
+            # same-named key inside a nested object would be silently
+            # corrupted; such rows are left UNCHANGED here (documented
+            # native-engine limitation — engine='pandas' implements full
+            # sjson.Set semantics).
+            nested_val = F.coalesce(
+                F.get_json_object(v, f"$.{a['key']}").rlike(r"^[\[{]"),
+                F.lit(False),
+            )
+            ambiguous = F.size(F.split(v, f'"{key_re}"\\s*:')) > 2
+            safe = exists & ~nested_val & ~ambiguous
             out = out.withColumn(
-                self.value_col, F.when(exists, replaced).otherwise(appended)
+                self.value_col,
+                F.when(safe, replaced).when(exists, v).otherwise(appended),
             )
         return out
 

@@ -110,9 +110,13 @@ def frame_sample_plan(
 ) -> DataFrame:
     """Video frame-sampling plumbing: emits (media_id, frame_idx, frame
     binary) — the decode is stubbed to fixed-size byte slices standing in
-    for frames, keeping the explode/partition shape real."""
+    for frames, keeping the explode/partition shape real. ``every_ms``
+    scales the stride: the stub models ~1024 bytes per second of media,
+    so every_ms=2000 samples half as many, twice-as-large frames."""
+    frame_bytes = max(64, (1024 * every_ms) // 1000)
     n_frames = F.least(
-        F.greatest((F.length(bytes_col) / 1024).cast("int"), F.lit(1)), F.lit(16)
+        F.greatest((F.length(bytes_col) / frame_bytes).cast("int"), F.lit(1)),
+        F.lit(16),
     )
     return (
         df.select(
@@ -124,7 +128,9 @@ def frame_sample_plan(
             id_col,
             "frame_idx",
             F.substring(
-                F.col(bytes_col), F.col("frame_idx") * 1024 + 1, 1024
+                F.col(bytes_col),
+                F.col("frame_idx") * frame_bytes + 1,
+                frame_bytes,
             ).alias("frame"),
         )
     )

@@ -20,6 +20,7 @@ Physical strategy (scale):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -64,6 +65,16 @@ class Router:
         names = [r.name for r in routes]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate route names: {names}")
+        # names flow into selectExpr identifiers, F.sum aliases, and the
+        # oracle SQL's string literals — reject anything that would be
+        # SQL syntax (e.g. 'my-route' parses as subtraction; a quote
+        # breaks the literal) at config time, like the reference's
+        # config validation
+        bad = [n for n in names if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n)]
+        if bad:
+            raise ValueError(
+                f"route names must match [A-Za-z_][A-Za-z0-9_]*: {bad}"
+            )
         self.routes = routes
         self.mode = mode
         self.value_col = value_col
@@ -90,11 +101,16 @@ class Router:
         sum of boolean matches per route — no explode, no extra shuffle
         beyond the final tiny aggregation."""
         aggs = [
-            F.sum(col.cast("long")).alias(name) for name, col in self._route_cols()
+            # COALESCE: empty input sums to NULL in Spark but the SQL
+            # twin emits 0 — keep the two sides hash-identical
+            F.coalesce(F.sum(col.cast("long")), F.lit(0)).alias(name)
+            for name, col in self._route_cols()
         ]
         wide = df.agg(*aggs)
-        # unpivot to (sink, cnt)
-        pairs = ", ".join(f"'{r.name}', {r.name}" for r in self.routes)
+        # unpivot to (sink, cnt); names are backtick-quoted identifiers
+        # (validated at __init__, but e.g. a reserved word still needs
+        # quoting inside selectExpr)
+        pairs = ", ".join(f"'{r.name}', `{r.name}`" for r in self.routes)
         return wide.selectExpr(
             f"stack({len(self.routes)}, {pairs}) as (sink, cnt)"
         )

@@ -47,7 +47,12 @@ class Spec:
                 f"{kind}: field {name!r} must be one of {sorted(self.choices)}, "
                 f"got {value!r}"
             )
-        if self.min_value is not None and isinstance(value, int) and value < self.min_value:
+        if (
+            self.min_value is not None
+            and isinstance(value, (int, float))
+            and not isinstance(value, bool)
+            and value < self.min_value
+        ):
             raise ValueError(
                 f"{kind}: field {name!r} must be >= {self.min_value}, got {value}"
             )

@@ -84,3 +84,30 @@ def test_asof_matches_duckdb(spark, sf_dir):
     )
     exp = dict(con.execute(entry_mod.oracle_sql()["asof_join"]).fetchall())
     assert got == exp
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """NULL-ts right rows sort first under the asc sweep and used to
+    become the backward match for every left row; NULL-ts left rows
+    swept up every right row in the forward (desc) ordering. Both must
+    yield NULL, like DuckDB ASOF JOIN."""
+    from collector_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, 1), ("a", None, 2)], "k string, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [("a", None, 99.0), ("a", 5, 1.5)], "k string, ts long, price double"
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r.lid: r.price
+            for r in asof_join(
+                left, right, on=["k"], ts_col="ts", direction=direction
+            ).collect()
+        }
+        assert got[2] is None, direction  # NULL-ts left row: no match
+        if direction == "backward":
+            assert got[1] == 1.5  # real match, never the NULL-ts 99.0
+        else:
+            assert got[1] is None  # no right.ts >= 10

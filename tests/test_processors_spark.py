@@ -295,3 +295,53 @@ def test_cef_version_is_first_colon_segment_both_engines(spark):
         out = KvParser(type="cef", engine=engine).apply(df).collect()
         assert len(out) == 1, engine  # the 1_2 version line is dropped
         assert out[0].parsed.version == "0", engine
+
+
+def test_json_native_add_is_safe_on_nested_and_null_values(spark):
+    """Native add: {'k':null} overwrites (no duplicate key); nested
+    values / nested same-named keys are left UNCHANGED (documented
+    fast-path limitation) instead of silently corrupted."""
+    from collector_spark.operators.json_mutate import JsonMutator
+
+    rows = [
+        ('{"k":null}',),
+        ('{"k":2}',),
+        ('{"k":{"a":1}}',),
+        ('{"meta":{"k":1},"k":2}',),
+        ('{"x":1}',),
+    ]
+    df = spark.createDataFrame(rows, ["value"])
+    out = [
+        r.value
+        for r in JsonMutator(add=[{"key": "k", "value": "v"}], engine="native")
+        .apply(df)
+        .collect()
+    ]
+    assert out == [
+        '{"k":"v"}',
+        '{"k":"v"}',
+        '{"k":{"a":1}}',
+        '{"meta":{"k":1},"k":2}',
+        '{"x":1,"k":"v"}',
+    ]
+
+
+def test_extract_pandas_udf_handles_null_html(spark):
+    from collector_spark.operators.extract import extract_text_udf
+
+    df = spark.createDataFrame(
+        [(1, b"<p>hello</p>"), (2, None)], "id long, html binary"
+    )
+    got = {r.id: r.t for r in df.select("id", extract_text_udf("html").alias("t")).collect()}
+    assert got == {1: "hello", 2: None}
+
+
+def test_router_rejects_sql_breaking_route_names(spark):
+    import pytest
+
+    from collector_spark.operators.router import Route, Router
+
+    with pytest.raises(ValueError, match="route names"):
+        Router([Route("my-route", None)])
+    with pytest.raises(ValueError, match="route names"):
+        Router([Route("o'brien", None)])
