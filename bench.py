@@ -95,6 +95,33 @@ BENCH_QUERIES = [
 ]
 
 
+# fixed pure-JVM CPU workload (range → xxhash64 → sum; no IO, no data
+# dependence) timed before and after the query sweep. This host swings
+# 1.4-2x between frequency/contention windows (BENCH/NOTES.md); carrying
+# a calibration number in every artifact lets any two bench JSONs be
+# compared window-normalized: query_sec * (ref_calibration / my_calibration).
+# decimal(38,0) cast: SUM over int64-range xxhash64 values overflows
+# under ANSI mode (CLAUDE.md invariant).
+CALIBRATION_ROWS = 1_000_000_000
+
+
+def _calibrate(spark) -> float:
+    # tiny warm pass: first use of this expression pays whole-stage
+    # codegen + JIT (~2x on the timed rep otherwise); we want host state
+    spark.range(1_000_000, numPartitions=CPUS).select(
+        F.xxhash64("id").alias("h")
+    ).agg(F.sum(F.col("h").cast("decimal(38,0)"))).collect()
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(CALIBRATION_ROWS, numPartitions=CPUS).select(
+            F.xxhash64("id").alias("h")
+        ).agg(F.sum(F.col("h").cast("decimal(38,0)"))).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
+
+
 def _pages_path() -> str:
     return f"/tmp/spark_graft_pages_n{N_PAGES}_s{SEED}.parquet"
 
@@ -151,6 +178,8 @@ def main() -> None:
 
     pages_path = ensure_pages(spark)
 
+    calibration_pre = _calibrate(spark)
+
     # best-of-2 per query: this host exhibits multi-x wall-clock noise
     # spikes; min is the honest steady-state.
     # Materialize via the noop writer, NOT .count(): count() lets
@@ -201,6 +230,8 @@ def main() -> None:
     alternate_total = round(
         sum(v for k, v in timings.items() if k in alternates), 3
     )
+    calibration_post = _calibrate(spark)
+
     out = {
         "metric": "e2e_parse_route_aggregate_total",
         # headline counts each operator ONCE (primary engine); the
@@ -215,6 +246,13 @@ def main() -> None:
         "pages_docs_per_sec": round(N_PAGES / pages_sec, 1),
         "pages_sink_counts": result["sink_counts"],
         "cpus": CPUS,
+        # best-of-2 seconds for the fixed CPU job, before/after the sweep;
+        # smaller = faster host window (see comment on CALIBRATION_ROWS)
+        "host_calibration": {
+            "rows": CALIBRATION_ROWS,
+            "pre_sec": calibration_pre,
+            "post_sec": calibration_post,
+        },
     }
     print(json.dumps(out))
 
