@@ -487,7 +487,7 @@ WITH base AS (
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000, text || ' tail marker' FROM documents
-  ) WHERE trim(text) <> ''
+  ) WHERE regexp_matches(text, '\\S')
 ),
 words AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') ws
@@ -557,7 +557,7 @@ WITH base AS (
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000, text FROM documents
-  ) WHERE trim(text) <> ''
+  ) WHERE regexp_matches(text, '\\S')
 ),
 toks AS (
   SELECT doc_id,
@@ -1832,7 +1832,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_PACK = """
-SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
        CAST(FLOOR(start_tok / 512.0) AS BIGINT) AS bin_id
 FROM (
   SELECT doc_id, n_tokens,
@@ -2154,7 +2154,34 @@ FROM per CROSS JOIN tot
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver correctness gate consumed exactly the
+    # first 50 dict entries in round 3, leaving the 17 newest queries
+    # without an external oracle row (VERDICT r3 #1). Entries that have
+    # never received a driver CORRECTNESS row therefore come FIRST;
+    # queries already driver-verified green (CORRECTNESS_r03.json, 50/50)
+    # follow, most-load-bearing first, and remain covered by the local
+    # DuckDB mirror (tests/test_queries_vs_duckdb.py) either way.
     return {
+        # --- never driver-verified (r3 entries 51-67) ---
+        "dup_span_profile": q_dup_span_profile,
+        "dedup_span_removal": q_dedup_span_removal,
+        "repetition_profile": q_repetition_profile,
+        "quality_filter_report": q_quality_filter_report,
+        "salient_terms": q_salient_terms,
+        "vocab_topk": q_vocab_topk,
+        "hash_split_summary": q_hash_split_summary,
+        "event_gap_stats": q_event_gap_stats,
+        "pack_sequences_bins": q_pack_sequences,
+        "stratified_sample_counts": q_stratified_sample_counts,
+        "unigram_logprob": q_unigram_logprob,
+        "token_budget_select": q_token_budget_select,
+        "corpus_shuffle_order": q_corpus_shuffle_order,
+        "source_mix_weights": q_source_mix_weights,
+        "order_count_histogram": q_order_count_histogram,
+        "per_source_zscore": q_per_source_zscore,
+        "high_balance_inactive": q_high_balance_inactive,
+        # --- new this round (also never driver-verified) ---
+        # --- driver-verified green in CORRECTNESS_r03 (50/50) ---
         "pipeline_parse_route_agg": q_pipeline_parse_route_agg,
         "cel_filter_accept": q_cel_filter_accept,
         "cel_filter_reject": q_cel_filter_reject,
@@ -2205,23 +2232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipment_priority": q_late_shipment_priority,
         "small_qty_revenue": q_small_qty_revenue,
         "contamination_check": q_contamination_check,
-        "dup_span_profile": q_dup_span_profile,
-        "dedup_span_removal": q_dedup_span_removal,
-        "repetition_profile": q_repetition_profile,
-        "quality_filter_report": q_quality_filter_report,
-        "salient_terms": q_salient_terms,
-        "vocab_topk": q_vocab_topk,
-        "hash_split_summary": q_hash_split_summary,
-        "event_gap_stats": q_event_gap_stats,
-        "pack_sequences_bins": q_pack_sequences,
-        "stratified_sample_counts": q_stratified_sample_counts,
-        "unigram_logprob": q_unigram_logprob,
-        "token_budget_select": q_token_budget_select,
-        "corpus_shuffle_order": q_corpus_shuffle_order,
-        "source_mix_weights": q_source_mix_weights,
-        "order_count_histogram": q_order_count_histogram,
-        "per_source_zscore": q_per_source_zscore,
-        "high_balance_inactive": q_high_balance_inactive,
     }
 
 

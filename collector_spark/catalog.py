@@ -73,9 +73,13 @@ class Catalog:
         if _iceberg_available(self.spark, name):
             from pyspark.sql.functions import bucket, col
 
+            # one bucket transform per key column — dropping columns
+            # 2..n would silently lose co-location for multi-column keys
+            # (extra exchanges on every downstream join)
+            transforms = [bucket(buckets, col(c)) for c in bucket_cols]
             (
                 df.writeTo(name)
-                .partitionedBy(bucket(buckets, col(bucket_cols[0])))
+                .partitionedBy(*transforms)
                 .createOrReplace()
             )
             return

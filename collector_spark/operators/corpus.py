@@ -60,11 +60,10 @@ __all__ = [
 
 
 def _words(text_col: str) -> Column:
-    """Whitespace tokens; empty string -> empty array (textstats contract)."""
-    t = F.trim(F.col(text_col))
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    """Whitespace tokens; same contract as textstats.tokens_col — empty
+    tokens filtered so tab/newline-edged text can't leak '' tokens (the
+    DuckDB oracle twins all use list_filter(..., w -> w <> ''))."""
+    return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
 
 
 def word_ngrams_exploded(

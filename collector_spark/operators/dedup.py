@@ -35,6 +35,16 @@ from pyspark.sql import types as T
 
 from collector_spark import oracle
 
+
+def _non_blank(text_col: str):
+    """True when the text has at least one non-whitespace char. trim()
+    strips SPACES only (both Spark and DuckDB), so a tabs/newlines-only
+    doc passes a trim-based blank check, gets the all-zero signature,
+    and lands in the degenerate LSH bucket this guard exists to prevent.
+    DuckDB twin: regexp_matches(text, '\\S')."""
+    return F.col(text_col).rlike(r"\S")
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -182,8 +192,10 @@ def minhash_lsh_pairs(
     # share the zero signature, so every band would bucket them together
     # — 100k scrubbed-empty rows would emit ~5e9 pair structs inside ONE
     # bucket row (executor OOM), all "verifying" at est_jaccard 1.0.
-    # Exact-empty duplicates belong to exact_dedup, not LSH.
-    df = df.filter(F.trim(F.col(text_col)) != "")
+    # Exact-empty duplicates belong to exact_dedup, not LSH. The filter
+    # uses a whitespace CLASS (trim strips spaces only — a tabs-only doc
+    # would slip through and recreate the blowup).
+    df = df.filter(_non_blank(text_col))
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
     # the signature table is referenced 3x downstream (the banded table
     # + both verify joins): materialize ONCE — without this the
@@ -599,8 +611,9 @@ def simhash_near_pairs(
     bands = max_hamming + 1
     width = 64 // bands
     # token-less docs all share fingerprint 0 → one degenerate bucket
-    # (same blowup as the minhash zero signature); exclude them
-    df = df.filter(F.trim(F.col(text_col)) != "")
+    # (same blowup as the minhash zero signature); exclude them on a
+    # whitespace class (see _non_blank — trim misses tabs-only docs)
+    df = df.filter(_non_blank(text_col))
     fp = simhash_fingerprints(df, text_col, id_col)
 
     def band_value(i: int):
