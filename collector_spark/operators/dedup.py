@@ -172,19 +172,26 @@ def minhash_lsh_pairs(
     seed: int = 42,
     threshold: float = 0.5,
     unpersist_into: list | None = None,
+    _debug_bucket_stats: list | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature
     agreement (estimated Jaccard >= threshold).
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
-    across bands.
+    across bands. Exact-duplicate texts are collapsed to one
+    representative BEFORE banding (so a degenerate identical-docs corpus
+    cannot blow up a single bucket task) and re-expanded to member pairs
+    after verification — the output is identical to banding every member.
 
-    Caching contract: the signature table is persisted (it is referenced
-    4x by the returned lazy plan). The returned plan depends on it, so it
-    is NOT unpersisted here; pass ``unpersist_into=[]`` to receive the
-    persisted DataFrame and call ``.unpersist()`` after materializing the
+    Caching contract: the signature + group tables are persisted (each is
+    referenced multiple times by the returned lazy plan). They are NOT
+    unpersisted here; pass ``unpersist_into=[]`` to receive the persisted
+    DataFrames and call ``.unpersist()`` after materializing the
     result — otherwise the cache lives until the session ends (fine for
     run-once jobs, a leak for long-lived sessions calling this per batch).
+
+    ``_debug_bucket_stats``: test hook — receives the rep-level bucket
+    table (band, bh, ids) so tests can pin the max per-task bucket size.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -196,15 +203,46 @@ def minhash_lsh_pairs(
     # uses a whitespace CLASS (trim strips spaces only — a tabs-only doc
     # would slip through and recreate the blowup).
     df = df.filter(_non_blank(text_col))
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
-    # the signature table is referenced 3x downstream (the banded table
-    # + both verify joins): materialize ONCE — without this the
-    # pandas-UDF stage re-runs per reference and dominates the job
+    udf = _make_minhash_udf(num_hashes, shingle_n, seed)
+    sigs_all = _ensure_udf_parallelism(df).select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_tkey"), udf(F.col(text_col)).alias("signature")
+    )
+    # the signature table feeds both the exact-text collapse and the
+    # member map: materialize ONCE — without this the pandas-UDF stage
+    # re-runs per reference and dominates the job
     from pyspark import StorageLevel
 
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs_all = sigs_all.persist(StorageLevel.MEMORY_AND_DISK)
     if unpersist_into is not None:
-        unpersist_into.append(sigs)
+        unpersist_into.append(sigs_all)
+
+    # EXACT-DUPLICATE COLLAPSE (round-3 VERDICT #3): banding only ever
+    # sees ONE representative per distinct text, so a 100k-identical-docs
+    # corpus cannot put O(k²) pair structs into a single bucket
+    # aggregation row. Identical texts have identical signatures, so
+    # first() is deterministic here and rep-level candidates/est are
+    # EXACTLY what member-level banding would produce; verified rep pairs
+    # re-expand to member pairs through ordinary joins (streamed by the
+    # join operator, never materialized in one row).
+    grp = sigs_all.groupBy("_tkey").agg(
+        F.min(id_col).alias("_rep"),
+        F.count(F.lit(1)).alias("_k"),
+        F.first("signature").alias("signature"),
+    )
+    grp = grp.persist(StorageLevel.MEMORY_AND_DISK)
+    if unpersist_into is not None:
+        unpersist_into.append(grp)
+    sigs = grp.select(F.col("_rep").alias(id_col), "signature")
+    # one tiny action on the persisted group table: when the corpus has
+    # no exact-duplicate texts (the common case) the member map is the
+    # identity and ALL five expansion exchanges are skipped — the plan is
+    # then stage-for-stage the pre-collapse one plus a single groupBy.
+    # (This makes the function eager up to the signature stage; callers
+    # materialize the result anyway.)
+    has_dups = grp.filter(F.col("_k") > 1).limit(1).count() > 0
+    members = sigs_all.select(F.col(id_col).alias("_mid"), "_tkey").join(
+        grp.select("_tkey", "_rep", "_k"), "_tkey"
+    )
 
     # band hash only buckets (est_jaccard comes from the signatures), so
     # use native xxhash64 over the band's slots — no string concat, no md5
@@ -241,6 +279,8 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if _debug_bucket_stats is not None:
+        _debug_bucket_stats.append(buckets)
     pairs_arr = F.flatten(
         F.transform(
             F.col("ids"),
@@ -266,13 +306,44 @@ def minhash_lsh_pairs(
         )
         / F.lit(float(num_hashes))
     )
-    return (
+    rep_pairs = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    if not has_dups:
+        return rep_pairs
+    # re-expand representatives to members. Intra-group pairs (identical
+    # texts) are est 1.0 by construction; cross-group pairs inherit the
+    # rep pair's estimate (identical text ⇒ identical signature). Both
+    # are ordinary joins: a k-member group streams its k² rows out of
+    # the join operator instead of materializing them in one agg row.
+    dup_members = members.filter(F.col("_k") > 1)
+    ia = dup_members.select("_tkey", F.col("_mid").alias("ma"))
+    ib = dup_members.select("_tkey", F.col("_mid").alias("mb"))
+    intra = (
+        ia.join(ib, "_tkey")
+        .filter(F.col("ma") < F.col("mb"))
+        .select(
+            F.col("ma").alias("id_a"),
+            F.col("mb").alias("id_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("_mid").alias("ma"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("_mid").alias("mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "est_jaccard",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------
@@ -591,6 +662,8 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    unpersist_into: list | None = None,
+    _debug_bucket_stats: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming.
 
@@ -602,11 +675,14 @@ def simhash_near_pairs(
     fingerprints group per (band, bv) bucket and pairs are emitted
     in-bucket (a self-join would ship the banded table through the
     exchange twice). Carrying the 8-byte fingerprint in the bucket list
-    removes the verify re-join entirely; a degenerate 1M-row bucket
-    costs 16 MB in one aggregation row — acceptable where carrying a
-    fat payload (e.g. an embedding) would not be (see
-    similarity.embedding_near_dup_pairs, which keeps the join for that
-    reason).
+    removes the verify re-join entirely.
+
+    Exact-duplicate texts are collapsed to one representative before
+    banding and re-expanded after verification (identical text ⇒
+    identical fingerprint ⇒ hamming 0), so a degenerate identical-docs
+    corpus streams its k² member pairs out of a join instead of
+    materializing them inside one bucket aggregation row — same
+    contract as minhash_lsh_pairs.
     """
     bands = max_hamming + 1
     width = 64 // bands
@@ -614,7 +690,30 @@ def simhash_near_pairs(
     # (same blowup as the minhash zero signature); exclude them on a
     # whitespace class (see _non_blank — trim misses tabs-only docs)
     df = df.filter(_non_blank(text_col))
-    fp = simhash_fingerprints(df, text_col, id_col)
+    fp_all = _ensure_udf_parallelism(df).select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("_tkey"),
+        _simhash_udf()(F.col(text_col)).alias("simhash"),
+    )
+    from pyspark import StorageLevel
+
+    fp_all = fp_all.persist(StorageLevel.MEMORY_AND_DISK)
+    if unpersist_into is not None:
+        unpersist_into.append(fp_all)
+    grp = fp_all.groupBy("_tkey").agg(
+        F.min(id_col).alias("_rep"),
+        F.count(F.lit(1)).alias("_k"),
+        F.first("simhash").alias("simhash"),
+    )
+    grp = grp.persist(StorageLevel.MEMORY_AND_DISK)
+    if unpersist_into is not None:
+        unpersist_into.append(grp)
+    fp = grp.select(F.col("_rep").alias(id_col), "simhash")
+    # no-dup short-circuit, same rationale as minhash_lsh_pairs
+    has_dups = grp.filter(F.col("_k") > 1).limit(1).count() > 0
+    members = fp_all.select(F.col(id_col).alias("_mid"), "_tkey").join(
+        grp.select("_tkey", "_rep", "_k"), "_tkey"
+    )
 
     def band_value(i: int):
         col = F.shiftrightunsigned(F.col("simhash"), i * width)
@@ -642,6 +741,8 @@ def simhash_near_pairs(
         )
         .filter(F.size("ms") > 1)
     )
+    if _debug_bucket_stats is not None:
+        _debug_bucket_stats.append(buckets.select("band", F.col("bv"), F.size("ms").alias("n")))
     pairs_arr = F.flatten(
         F.transform(
             F.col("ms"),
@@ -662,8 +763,36 @@ def simhash_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
+    rep_pairs = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if not has_dups:
+        return rep_pairs
+    # re-expand reps to members (see minhash_lsh_pairs): intra-group
+    # pairs are hamming 0, cross-group pairs inherit the rep distance
+    dup_members = members.filter(F.col("_k") > 1)
+    ia = dup_members.select("_tkey", F.col("_mid").alias("ma"))
+    ib = dup_members.select("_tkey", F.col("_mid").alias("mb"))
+    intra = (
+        ia.join(ib, "_tkey")
+        .filter(F.col("ma") < F.col("mb"))
+        .select(
+            F.col("ma").alias("id_a"),
+            F.col("mb").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("_mid").alias("ma"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("_mid").alias("mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(cross)
