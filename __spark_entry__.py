@@ -1187,13 +1187,21 @@ WHERE rank <= {_ANN_K}
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-list ANN with all lists probed → exact results, so
     the brute-force DuckDB oracle applies (the approximate path is
-    recall-tested in tests/test_training_ops.py)."""
-    from collector_spark.operators.similarity import ivf_topk
+    recall-tested in tests/test_training_ops.py). Exercises the
+    suggest_n_centroids sqrt(N) default via corpus_rows_hint — the
+    production sizing path — rather than a hand-picked n_centroids."""
+    from collector_spark.operators.similarity import ivf_topk, suggest_n_centroids
 
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _ANN_NQ)
+    rows = emb.count()  # at scale this hint comes free from table stats
     out = ivf_topk(
-        emb, queries, k=_ANN_K, dim=64, n_centroids=16, n_probe=16
+        emb,
+        queries,
+        k=_ANN_K,
+        dim=64,
+        corpus_rows_hint=rows,
+        n_probe=suggest_n_centroids(rows),
     )
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
