@@ -113,6 +113,34 @@ _SQL_CEL_PRED = (
     "AND (event_type = 'click'), FALSE)"
 )
 
+# cel-go time surface (engine.go:39-41 embeds the full cel-go env; the
+# msgraph createdDateTime window rules, msgraph.go:105-132, are the
+# reference use-case): a 5-day window expressed as a timestamp literal
+# plus duration arithmetic, evaluated over the TIMESTAMP-typed ts column
+_CEL_TIME_RULE = (
+    'event.ts >= timestamp("2024-01-10T00:00:00Z") '
+    '&& event.ts < timestamp("2024-01-10T00:00:00Z") + duration("120h")'
+)
+
+
+def q_cel_filter_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.cel import CelFilter
+
+    ev = _events(spark, sf_dir)
+    filt = CelFilter(rules=[_CEL_TIME_RULE], action="accept", mode="columns")
+    return filt.apply(ev).select("event_id")
+
+
+# hand-written oracle (NOT SqlCompiler-generated): epoch of
+# 2024-01-10T00:00:00Z = 1704844800, 120h = 432000 s; DuckDB's naive
+# TIMESTAMP cast is host-timezone-independent
+_SQL_CEL_TIME = """
+SELECT event_id FROM events
+WHERE COALESCE(
+  epoch(TRY_CAST(ts AS TIMESTAMP)) >= 1704844800.0
+  AND epoch(TRY_CAST(ts AS TIMESTAMP)) < 1704844800.0 + 432000.0, FALSE)
+"""
+
 
 # ---------------------------------------------------------------------------
 # 4. JSON mutate (processor `json`, json.go:88-130)
@@ -2189,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_zscore": q_per_source_zscore,
         "high_balance_inactive": q_high_balance_inactive,
         # --- new this round (also never driver-verified) ---
+        "cel_filter_time": q_cel_filter_time,
         # --- driver-verified green in CORRECTNESS_r03 (50/50) ---
         "pipeline_parse_route_agg": q_pipeline_parse_route_agg,
         "cel_filter_accept": q_cel_filter_accept,
@@ -2248,6 +2277,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_parse_route_agg": _sql_pipeline_parse_route_agg(),
         "cel_filter_accept": f"SELECT event_id FROM events WHERE {_SQL_CEL_PRED}",
         "cel_filter_reject": f"SELECT event_id FROM events WHERE NOT {_SQL_CEL_PRED}",
+        "cel_filter_time": _SQL_CEL_TIME,
         "json_mutate": _SQL_JSON_MUTATE,
         "syslog_strip": _SQL_SYSLOG_STRIP,
         "kv_roundtrip": _SQL_KV_ROUNDTRIP,

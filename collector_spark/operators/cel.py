@@ -30,7 +30,14 @@ literals, ``in {..}`` map literals (key membership, like cel-go),
 ``<literal> in event.some.list`` field membership,
 ``.startsWith/.endsWith/.contains/.matches(str)`` (also legal on the
 bound variable inside exists/all/exists_one/filter bodies),
-``.size()``, int/float/string/bool/null literals. Anything else raises
+``.size()``, int/float/string/bool/null literals, and the cel-go time
+surface the reference's msgraph window rules use
+(msgraph.go:105-132): ``timestamp("<RFC3339>")`` and
+``duration("1h30m")`` literals in comparisons against event fields,
+with ``ts ± dur`` / ``ts - ts`` arithmetic (all compiled to epoch
+seconds; a malformed field value is NULL → non-match on every
+backend; mixed ts/dur comparisons and ``ts + ts`` are config-time
+errors, like cel-go's type checker). Anything else raises
 ``CelSyntaxError`` at build time (mirrors validateRule,
 engine.go:88-106).
 
@@ -104,6 +111,30 @@ class Lit:
 @dataclass
 class Path:
     parts: tuple[str, ...]  # ('event', 'data', 'errors') or ('x',) for vars
+
+
+@dataclass
+class TsLit:
+    """``timestamp("2024-01-05T10:00:00Z")`` — RFC3339 literal, parsed to
+    a UTC epoch-seconds float at CONFIG time (a bad string is a
+    CelSyntaxError, mirroring cel-go's type-checked timestamp()
+    conversion the reference embeds, engine.go:39-41; msgraph-style
+    createdDateTime window rules are the use case, msgraph.go:105-132).
+    All backends compare time as epoch seconds, so the literal compiles
+    to a plain double everywhere."""
+
+    epoch: float
+    text: str
+
+
+@dataclass
+class DurLit:
+    """``duration("1h30m")`` — cel-go duration literal (h/m/s/ms/us/ns
+    units, decimals and leading '-' allowed), parsed to seconds at
+    config time."""
+
+    seconds: float
+    text: str
 
 
 @dataclass
@@ -224,6 +255,137 @@ class InField:
 
     needle: Lit
     path: object  # Path | ListFilter | ListMap
+
+
+_DURATION_RE = re.compile(r"(\d+(?:\.\d+)?)(h|ms|us|ns|m|s)")
+
+#: unit → seconds (cel-go duration units; no days, like Go time.Duration)
+_DURATION_UNITS = {"h": 3600.0, "m": 60.0, "s": 1.0, "ms": 1e-3, "us": 1e-6, "ns": 1e-9}
+
+
+def _parse_duration(text: str) -> float:
+    """cel-go duration string → seconds. '1h30m', '90s', '1.5h',
+    '-45m', '500ms'. Config-time CelSyntaxError on anything else."""
+    s = text.strip()
+    sign = 1.0
+    if s.startswith("-"):
+        sign, s = -1.0, s[1:]
+    pos, total = 0, 0.0
+    while pos < len(s):
+        m = _DURATION_RE.match(s, pos)
+        if m is None:
+            raise CelSyntaxError(f"bad duration literal {text!r}")
+        total += float(m.group(1)) * _DURATION_UNITS[m.group(2)]
+        pos = m.end()
+    if pos == 0:
+        raise CelSyntaxError(f"bad duration literal {text!r}")
+    return sign * total
+
+
+def _parse_rfc3339(text: str) -> float:
+    """RFC3339 timestamp string → UTC epoch seconds. Offset-less strings
+    are UTC (all three execution backends run with a UTC session zone
+    here; rules SHOULD carry explicit offsets as msgraph does).
+    Config-time CelSyntaxError on parse failure."""
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.fromisoformat(text.replace("Z", "+00:00"))
+    except ValueError as exc:
+        raise CelSyntaxError(f"bad timestamp literal {text!r}: {exc}") from None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+def _contains_time(node) -> bool:
+    """True if the operand expression involves a timestamp()/duration()
+    literal anywhere (the trigger for time-typed comparison)."""
+    if isinstance(node, (TsLit, DurLit)):
+        return True
+    if isinstance(node, Arith):
+        return _contains_time(node.left) or _contains_time(node.right)
+    return False
+
+
+def _time_tag(node) -> str:
+    """Static time type of a Cmp side: 'ts' or 'dur'. Paths are
+    timestamp-typed fields (a bare field can never be duration-typed —
+    durations only arise from duration() literals or ts - ts).
+    Everything compiles to epoch/interval SECONDS, so this check exists
+    purely to reject nonsense (ts + ts, ts * 2, string vs ts) at config
+    time, like cel-go's type checker."""
+    if isinstance(node, TsLit):
+        return "ts"
+    if isinstance(node, DurLit):
+        return "dur"
+    if isinstance(node, Path):
+        return "ts"
+    if isinstance(node, Arith):
+        if node.op not in ("+", "-"):
+            raise CelSyntaxError(f"{node.op!r} not defined for time values")
+        lt, rt = _time_tag(node.left), _time_tag(node.right)
+        if node.op == "+":
+            if (lt, rt) in (("ts", "dur"), ("dur", "ts")):
+                return "ts"
+            if (lt, rt) == ("dur", "dur"):
+                return "dur"
+            raise CelSyntaxError("cannot add two timestamps")
+        # '-'
+        if (lt, rt) == ("ts", "ts"):
+            return "dur"
+        if (lt, rt) == ("ts", "dur"):
+            return "ts"
+        if (lt, rt) == ("dur", "dur"):
+            return "dur"
+        raise CelSyntaxError("cannot subtract a timestamp from a duration")
+    raise CelSyntaxError(f"operand {node!r} cannot appear in a time comparison")
+
+
+def _check_time_cmp(node: Cmp) -> None:
+    """Both sides of a time comparison must carry the same time type."""
+    if _time_tag(node.left) != _time_tag(node.right):
+        raise CelSyntaxError(
+            "time comparison mixes timestamp and duration operands"
+        )
+
+
+def _validate_time_usage(node) -> None:
+    """timestamp()/duration() literals are only legal inside a
+    comparison between time-typed operands — walked at parse_rule time
+    so misuse (in lists, string functions, boolean position) is a
+    config-time error on every backend."""
+    if isinstance(node, (TsLit, DurLit)):
+        raise CelSyntaxError(
+            "timestamp()/duration() only usable inside a comparison"
+        )
+    if isinstance(node, Cmp):
+        if _contains_time(node.left) or _contains_time(node.right):
+            _check_time_cmp(node)
+            return  # sides validated as a unit; don't descend
+        _validate_time_usage(node.left)
+        _validate_time_usage(node.right)
+        return
+    if isinstance(node, (And, Or)):
+        _validate_time_usage(node.left)
+        _validate_time_usage(node.right)
+    elif isinstance(node, Not):
+        _validate_time_usage(node.operand)
+    elif isinstance(node, Ternary):
+        _validate_time_usage(node.cond)
+        _validate_time_usage(node.then)
+        _validate_time_usage(node.els)
+    elif isinstance(node, Arith):
+        _validate_time_usage(node.left)
+        _validate_time_usage(node.right)
+    elif isinstance(node, (Exists, ForAll, ExistsOne)):
+        _validate_time_usage(node.body)
+    elif isinstance(node, (ListFilter,)):
+        _validate_time_usage(node.body)
+    elif isinstance(node, (ListMap,)):
+        _validate_time_usage(node.expr)
+    elif isinstance(node, InList):
+        _validate_time_usage(node.operand)
 
 
 class _Parser:
@@ -432,6 +594,15 @@ class _Parser:
             method = path.parts[-1]
             base = Path(path.parts[:-1])
             if not base.parts:
+                if method in ("timestamp", "duration"):
+                    self.next()  # (
+                    arg = self.parse_unary()
+                    if not isinstance(arg, Lit) or not isinstance(arg.value, str):
+                        raise CelSyntaxError(f"{method}() requires a string literal")
+                    self.expect(")")
+                    if method == "timestamp":
+                        return TsLit(_parse_rfc3339(arg.value), arg.value)
+                    return DurLit(_parse_duration(arg.value), arg.value)
                 raise CelSyntaxError(f"unknown function {method!r}")
             self.next()  # (
             if method in ("exists", "all", "exists_one", "filter", "map"):
@@ -599,6 +770,7 @@ def parse_rule(rule: str):
     rejection, mirroring validateRule engine.go:88-106)."""
     ast = _Parser(rule).parse()
     _reject_bare_list_exprs(ast)
+    _validate_time_usage(ast)
     return ast
 
 
@@ -700,6 +872,27 @@ class ColumnCompiler:
     def _lit_of(self, node):
         return node.value if isinstance(node, Lit) else None
 
+    def _time_side(self, node) -> Column:
+        """One side of a time comparison as epoch/interval SECONDS.
+        Paths parse as timestamps (try_to_timestamp → NULL on a
+        malformed field → comparison NULL → non-match, the standard
+        error convention); literals were resolved at config time."""
+        if isinstance(node, TsLit):
+            return F.lit(node.epoch)
+        if isinstance(node, DurLit):
+            return F.lit(node.seconds)
+        if isinstance(node, Path):
+            # cast("string") first: a real timestamp column (columns
+            # mode) round-trips; a JSON string field passes through
+            return F.try_to_timestamp(
+                self._raw_path(node).cast("string")
+            ).cast("double")
+        if isinstance(node, Arith):
+            left = self._time_side(node.left)
+            right = self._time_side(node.right)
+            return left + right if node.op == "+" else left - right
+        raise CelSyntaxError(f"operand {node!r} cannot appear in a time comparison")
+
     # -- node dispatch --------------------------------------------------------
 
     def compile(self, node) -> Column:
@@ -714,19 +907,25 @@ class ColumnCompiler:
         if isinstance(node, Not):
             return ~self.compile(node.operand)
         if isinstance(node, Cmp):
-            like = self._lit_of(node.right) or self._lit_of(node.left)
-            if like is None and (
-                isinstance(node.left, Arith) or isinstance(node.right, Arith)
-            ):
-                like = 1.0  # arithmetic side → compare numerically
-            left = self._operand(node.left, like)
-            right = self._operand(node.right, like)
-            if isinstance(node.left, Lit) and isinstance(node.right, Path):
-                right = self._typed_path(node.right, self._lit_of(node.left))
-            op = node.op
-            if isinstance(node.right, Lit) and isinstance(node.right.value, bool) and self.mode == "json":
-                # json mode: bool path compiled to (col == 'true'), compare to lit
-                left = self._typed_path(node.left, True) if isinstance(node.left, Path) else left
+            if _contains_time(node.left) or _contains_time(node.right):
+                # time comparison: both sides as epoch/interval seconds
+                left = self._time_side(node.left)
+                right = self._time_side(node.right)
+                op = node.op
+            else:
+                like = self._lit_of(node.right) or self._lit_of(node.left)
+                if like is None and (
+                    isinstance(node.left, Arith) or isinstance(node.right, Arith)
+                ):
+                    like = 1.0  # arithmetic side → compare numerically
+                left = self._operand(node.left, like)
+                right = self._operand(node.right, like)
+                if isinstance(node.left, Lit) and isinstance(node.right, Path):
+                    right = self._typed_path(node.right, self._lit_of(node.left))
+                op = node.op
+                if isinstance(node.right, Lit) and isinstance(node.right.value, bool) and self.mode == "json":
+                    # json mode: bool path compiled to (col == 'true'), compare to lit
+                    left = self._typed_path(node.left, True) if isinstance(node.left, Path) else left
             if op == "==":
                 return left == right
             if op == "!=":
@@ -982,6 +1181,11 @@ class SqlCompiler:
             # and Python backends' error-as-non-match convention
             return f"(NOT {self.compile(node.operand)})"
         if isinstance(node, Cmp):
+            if _contains_time(node.left) or _contains_time(node.right):
+                left = self._sql_time_side(node.left)
+                right = self._sql_time_side(node.right)
+                op = {"==": "=", "!=": "<>"}.get(node.op, node.op)
+                return f"({left} {op} {right})"
             like = (
                 node.right.value
                 if isinstance(node.right, Lit)
@@ -1086,6 +1290,23 @@ class SqlCompiler:
             return self._arith_sql(node)
         raise CelSyntaxError(f"unsupported operand {node!r}")
 
+    def _sql_time_side(self, node) -> str:
+        """Mirror of ColumnCompiler._time_side. DuckDB's naive-TIMESTAMP
+        cast converts explicit offsets to the UTC instant and treats
+        offset-less strings as UTC, independent of the host TimeZone
+        setting (probed) — matching Spark's UTC session zone here."""
+        if isinstance(node, TsLit):
+            return repr(node.epoch)
+        if isinstance(node, DurLit):
+            return repr(node.seconds)
+        if isinstance(node, Path):
+            return f"epoch(TRY_CAST({self._raw_path(node)} AS TIMESTAMP))"
+        if isinstance(node, Arith):
+            left = self._sql_time_side(node.left)
+            right = self._sql_time_side(node.right)
+            return f"({left} {node.op} {right})"
+        raise CelSyntaxError(f"operand {node!r} cannot appear in a time comparison")
+
     def _arith_sql(self, node: Arith) -> str:
         def num(n) -> str:
             if isinstance(n, Arith):
@@ -1187,6 +1408,29 @@ def _py_resolve(event: dict, path: Path):
     return cur
 
 
+def _py_time_side(node, event: dict) -> float:
+    """Mirror of the Column/SQL time sides: epoch/interval seconds. A
+    field that is missing or fails to parse raises CelEvalError →
+    non-match, matching try_to_timestamp's NULL on the other backends."""
+    if isinstance(node, TsLit):
+        return node.epoch
+    if isinstance(node, DurLit):
+        return node.seconds
+    if isinstance(node, Path):
+        val = _py_resolve(event, node)
+        if not isinstance(val, str):
+            raise CelEvalError(f"time comparison on non-string field: {val!r}")
+        try:
+            return _parse_rfc3339(val)
+        except CelSyntaxError:
+            raise CelEvalError(f"unparseable timestamp field {val!r}") from None
+    if isinstance(node, Arith):
+        left = _py_time_side(node.left, event)
+        right = _py_time_side(node.right, event)
+        return left + right if node.op == "+" else left - right
+    raise CelEvalError(f"operand {node!r} cannot appear in a time comparison")
+
+
 def eval_python(node, event: dict):
     """CEL-like evaluation against a parsed JSON dict; raises CelEvalError
     on type mismatches / missing keys (which the caller treats as
@@ -1240,9 +1484,13 @@ def eval_python(node, event: dict):
             return math.fmod(left, right)
         raise CelEvalError(f"unknown arithmetic op {node.op!r}")
     if isinstance(node, Cmp):
-        left = eval_python(node.left, event)
-        right = eval_python(node.right, event)
-        _check_types(left, right)
+        if _contains_time(node.left) or _contains_time(node.right):
+            left = _py_time_side(node.left, event)
+            right = _py_time_side(node.right, event)
+        else:
+            left = eval_python(node.left, event)
+            right = eval_python(node.right, event)
+            _check_types(left, right)
         return {
             "==": lambda: left == right,
             "!=": lambda: left != right,

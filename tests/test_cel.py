@@ -258,3 +258,94 @@ def test_extended_predicates(spark):
         ast = C.parse_rule(rule)
         got_py = [e for e in events if C.rule_detection_python(e, [ast])]
         assert got_py == expected, rule
+
+
+# ---------------------------------------------------------------------------
+# cel-go time surface: timestamp()/duration() literals in comparisons
+# (the msgraph createdDateTime window-rule shape, msgraph.go:105-132)
+# ---------------------------------------------------------------------------
+
+TIME_EVENTS = [
+    '{"created": "2024-01-05T10:00:00Z", "closed": "2024-01-05T11:30:00Z"}',
+    '{"created": "2024-01-04T10:00:00Z", "closed": "2024-01-04T10:10:00Z"}',
+    '{"created": "garbage", "closed": "2024-01-05T11:30:00Z"}',
+    '{"code": 1}',
+    # same instant as event 0 written with a +02:00 offset
+    '{"created": "2024-01-05T12:00:00+02:00", "closed": "2024-01-05T10:30:00Z"}',
+]
+
+TIME_TRUTH = {
+    # window lower bound; malformed/missing fields are non-matches
+    'event.created >= timestamp("2024-01-05T00:00:00Z")': [True, False, False, False, True],
+    # out-of-window disjunction
+    'event.created < timestamp("2024-01-04T23:59:59Z") || event.created > timestamp("2024-01-06T00:00:00Z")': [
+        False, True, False, False, False,
+    ],
+    # ts literal + duration arithmetic (threshold 09:30Z)
+    'event.created >= timestamp("2024-01-05T08:00:00Z") + duration("1h30m")': [
+        True, False, False, False, True,
+    ],
+    # ts - ts vs duration
+    'event.closed - event.created > duration("1h")': [True, False, False, False, False],
+    'event.closed - event.created == duration("10m")': [False, True, False, False, False],
+    # field ts - duration vs field ts
+    'event.closed - duration("90m") >= event.created': [True, False, False, False, False],
+    # offset-written timestamps compare by instant
+    'event.created == timestamp("2024-01-05T10:00:00Z")': [True, False, False, False, True],
+}
+
+INVALID_TIME_RULES = [
+    'timestamp("not a ts") < event.created',          # bad RFC3339 literal
+    'duration("1 fortnight") > event.a - event.b',    # bad duration literal
+    'event.created > duration("1h")',                 # ts vs dur mix
+    'timestamp("2024-01-05T00:00:00Z") + timestamp("2024-01-05T00:00:00Z") < event.x',  # ts + ts
+    'event.created.size() > duration("1h")',          # non-time operand in time cmp
+    'timestamp("2024-01-05T00:00:00Z") in [1, 2]',    # time literal outside a comparison
+    'event.created * 2 > timestamp("2024-01-05T00:00:00Z")',  # * not defined for time
+]
+
+
+def test_duration_parsing():
+    assert C._parse_duration("1h30m") == 5400.0
+    assert C._parse_duration("90s") == 90.0
+    assert C._parse_duration("1.5h") == 5400.0
+    assert C._parse_duration("-45m") == -2700.0
+    assert C._parse_duration("500ms") == 0.5
+
+
+@pytest.mark.parametrize("rule", list(TIME_TRUTH))
+def test_time_python_oracle(rule):
+    ast = C.parse_rule(rule)
+    got = [C.rule_detection_python(e, [ast]) for e in TIME_EVENTS]
+    assert got == TIME_TRUTH[rule], rule
+
+
+@pytest.mark.parametrize("rule", list(TIME_TRUTH))
+def test_time_spark_backend(spark, rule):
+    df = spark.createDataFrame([(e,) for e in TIME_EVENTS], ["value"])
+    filt = C.CelFilter(rules=[rule], action="accept", mode="json")
+    kept = {r.value for r in filt.apply(df).collect()}
+    expected = {e for e, m in zip(TIME_EVENTS, TIME_TRUTH[rule]) if m}
+    assert kept == expected, rule
+
+
+@pytest.mark.parametrize("rule", list(TIME_TRUTH))
+def test_time_duckdb_backend(rule):
+    filt = C.CelFilter(rules=[rule], action="accept", mode="json")
+    pred = filt.sql_predicate()
+    con = duckdb.connect()
+    con.execute("SET TimeZone='America/New_York'")  # must not matter
+    got = []
+    for e in TIME_EVENTS:
+        escaped = e.replace("'", "''")
+        val = con.execute(
+            f"select {pred.replace('value', f'''CAST('{escaped}' AS VARCHAR)''')}"
+        ).fetchone()[0]
+        got.append(bool(val))
+    assert got == TIME_TRUTH[rule], rule
+
+
+@pytest.mark.parametrize("rule", INVALID_TIME_RULES)
+def test_invalid_time_rules_rejected(rule):
+    with pytest.raises(C.CelSyntaxError):
+        C.parse_rule(rule)
