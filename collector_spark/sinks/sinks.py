@@ -235,14 +235,28 @@ class GcsSink(FileSink):
         # composite append: accumulate parts under ONE object prefix;
         # count comes from the write action itself (observe), so it cannot
         # disagree with what was appended for non-deterministic inputs.
-        # Each batch's part is a batch-keyed subdir written with
-        # OVERWRITE: a bare mode('append') to the prefix would duplicate
-        # the rows on at-least-once replay of an uncommitted batch
+        # Each batch's part is a batch-keyed subdir COMMITTED BY RENAME:
+        # the job writes to a tick-private temp dir, then an atomic
+        # first-writer-wins rename publishes it. A bare mode('append') to
+        # the prefix would duplicate rows on at-least-once replay, and a
+        # direct overwrite RACES when two ticks replay the same batch id
+        # concurrently (zombie trigger + restart) — both committers'
+        # files survived the interleaved delete, doubling the rows
+        # (pinned in test_gcs_composite_concurrent_same_batch_ticks).
+        # Same-batch replays carry identical content, so first-wins ==
+        # last-wins observably — this mirrors GCS compose's atomicity
+        # (gcs.go:97-141).
         target = _templated(self.path)
         if batch_id is not None:
-            target = os.path.join(target, f"part_batch_id={batch_id}")
+            import uuid
+
+            final = os.path.join(target, f"part_batch_id={batch_id}")
+            target = os.path.join(
+                target, f".tick_tmp_{batch_id}_{uuid.uuid4().hex}"
+            )
             mode = "overwrite"
         else:
+            final = None
             mode = "append"
         out = df.select(F.col(self.value_col).cast("string").alias("value"))
         out, obs = _observe_lines(out)
@@ -253,8 +267,31 @@ class GcsSink(FileSink):
         if self.gzip:
             w = w.option("compression", "gzip")
         w.text(target)
+        if final is not None:
+            self._publish_by_rename(df.sparkSession, target, final)
         self.last_metrics = {k: int(v) for k, v in obs.get.items()}
         return self.last_metrics["written"]
+
+    @staticmethod
+    def _publish_by_rename(spark, tmp: str, final: str) -> None:
+        """Atomically publish a tick's temp dir as the batch part.
+        First writer wins; a loser (part already published, or rename
+        lost a photo-finish) just discards its temp dir. Crashed ticks
+        leave only unpublished .tick_tmp_* dirs, never a partial part."""
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        jconf = sc._jsc.hadoopConfiguration()
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        jfinal = jvm.org.apache.hadoop.fs.Path(final)
+        fs = jtmp.getFileSystem(jconf)
+        if fs.exists(jfinal) or not fs.rename(jtmp, jfinal):
+            fs.delete(jtmp, True)
+        # photo-finish loser: Hadoop rename(src, existing-dir) moves src
+        # INSIDE the destination instead of failing — sweep our temp out
+        # of the published part if that happened
+        nested = jvm.org.apache.hadoop.fs.Path(jfinal, jtmp.getName())
+        if fs.exists(nested):
+            fs.delete(nested, True)
 
 
 def _http_sinks():

@@ -495,6 +495,41 @@ def test_gcs_composite_batch_replay_is_idempotent(spark, tmp_path):
     assert spark.read.text(f"{obj}/part_batch_id=*").count() == 4
 
 
+def test_gcs_composite_concurrent_same_batch_ticks(spark, tmp_path):
+    """Two ticks RACING on the same batch id (zombie trigger + restart
+    replay, the gcs.go:67-153 object-compose analog): whatever the
+    interleaving, the batch-keyed overwrite must converge to exactly the
+    batch's rows — never an append-doubling. A tick that loses the race
+    (overwrite colliding with a concurrent delete) may error; the
+    streaming retry (one more write) must then land the exact rows."""
+    import threading
+
+    from collector_spark.sinks.sinks import GcsSink
+
+    df = spark.createDataFrame([("x",), ("y",), ("z",)], ["value"])
+    gcs = GcsSink(bucket=str(tmp_path / "g"), path="obj",
+                  composite=True, scheme="file")
+    errors = []
+
+    def tick():
+        try:
+            gcs.write(df, batch_id=7)
+        except Exception as exc:  # noqa: BLE001 — loser of the race
+            errors.append(exc)
+
+    threads = [threading.Thread(target=tick) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(errors) <= 1  # at least one tick must win
+    if errors:
+        gcs.write(df, batch_id=7)  # the streaming retry
+    obj = str(tmp_path / "g" / "obj")
+    vals = sorted(r.value for r in spark.read.text(f"{obj}/part_batch_id=7").collect())
+    assert vals == ["x", "y", "z"]  # exactly once — no dupes, no loss
+
+
 def test_sink_empty_count_uses_whitespace_class(spark, tmp_path):
     """Tab/CR-only values are EMPTY like the reference's TrimSpace'd
     lines — F.trim (spaces only) used to count '\\t' as written."""

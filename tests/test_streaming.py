@@ -5,6 +5,8 @@ import json
 import os
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from collector_spark.pipeline import Pipeline, PipelineConfig, SinkSpec
@@ -52,6 +54,84 @@ def test_streaming_pipeline_foreachbatch(spark, tmp_path):
     assert sorted(batches) == ["batch_id=0", "batch_id=1"]
     b1 = spark.read.parquet(str(tmp_path / "out" / "batch_id=1"))
     assert [json.loads(r.value)["i"] for r in b1.collect()] == [1000]
+
+
+def test_streaming_crash_after_sink_before_checkpoint_commit(spark, tmp_path):
+    """At-least-once + idempotent sinks = exactly-once observable output
+    (the manager.go:229-231 resume contract, streaming flavor): the
+    query CRASHES after the sink write + manifest commit for batch 1 but
+    BEFORE Structured Streaming commits its checkpoint. On restart from
+    the same checkpoint dir Spark replays batch 1 with the same files;
+    the pipeline manifest marks it committed so the replay is a no-op —
+    no duplicates, no loss."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "f1.txt").write_text(
+        "\n".join(json.dumps({"code": 200, "i": i}) for i in range(10))
+    )
+    config = PipelineConfig(
+        instance_id="crash1",
+        processors=[{"kind": "cel", "rules": ["event.code == 200"]}],
+        sinks=[SinkSpec("out", "parquet", None, {"path": str(tmp_path / "out")})],
+    )
+    pipe = Pipeline(config, state_dir=str(tmp_path / "state"))
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 0: clean run
+    sp = StreamingPipeline(pipe, checkpoint_dir=ckpt)
+    q = sp.start(spark.readStream.text(str(in_dir)), trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # batch 1: crash AFTER run_batch (sink written, manifest committed)
+    (in_dir / "f2.txt").write_text(
+        "\n".join(json.dumps({"code": 200, "i": 100 + i}) for i in range(5))
+    )
+
+    def crashing_process(batch_df, batch_id):
+        pipe.run_batch(batch_df, batch_id=int(batch_id))
+        if int(batch_id) >= 1:
+            raise RuntimeError("injected crash before checkpoint commit")
+
+    q2 = (
+        spark.readStream.text(str(in_dir))
+        .writeStream.foreachBatch(crashing_process)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        with pytest.raises(Exception):
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    # the sink DID get batch 1's rows; the streaming checkpoint did NOT
+    # commit batch 1 (commits dir holds batch 0 only)
+    assert (tmp_path / "out" / "batch_id=1").exists()
+    commits = {
+        c for c in os.listdir(os.path.join(ckpt, "commits")) if not c.startswith(".")
+    }
+    assert commits == {"0"}
+
+    # restart clean from the same checkpoint: batch 1 replays, the
+    # manifest no-ops it, and the query moves on
+    q3 = sp.start(spark.readStream.text(str(in_dir)), trigger_seconds=1)
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+
+    commits = {
+        c for c in os.listdir(os.path.join(ckpt, "commits")) if not c.startswith(".")
+    }
+    assert "1" in commits
+    out = spark.read.parquet(str(tmp_path / "out"))
+    vals = sorted(json.loads(r.value)["i"] for r in out.collect())
+    # exactly once per input line: 10 from f1, 5 from f2, no dupes/loss
+    assert vals == list(range(10)) + [100 + i for i in range(5)]
 
 
 def test_socket_source_syslog_stream(spark):
