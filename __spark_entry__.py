@@ -143,6 +143,98 @@ WHERE COALESCE(
 
 
 # ---------------------------------------------------------------------------
+# Grok extraction (operators/grok.py) — the general %{PATTERN:field}
+# form of the north rule's grok/regex parse stage. Access-log lines are
+# constructed deterministically from the events table (the kv_roundtrip
+# convention) and parsed back; the DuckDB oracle replays both the
+# construction and the extraction with the same compiled regex.
+# ---------------------------------------------------------------------------
+
+_GROK_LOG_PATTERN = (
+    r'%{INT:log_id} %{IP:client} - %{USER:user} \[%{TIMESTAMP_ISO8601:ts_str}\] '
+    r'"%{WORD:method} %{NOTSPACE:path} HTTP/1.1" %{INT:status} %{INT:bytes}'
+)
+
+
+def _grok_log_line() -> "F.Column":
+    method = (
+        F.when(F.col("event_type") == "click", "GET")
+        .when(F.col("event_type") == "view", "HEAD")
+        .when(F.col("event_type") == "purchase", "POST")
+        .when(F.col("event_type") == "error", "DELETE")
+        .otherwise("PUT")
+    )
+    status = (
+        F.when(F.col("value") > 90, F.lit(500))
+        .when(F.col("value") > 50, F.lit(404))
+        .otherwise(F.lit(200))
+    )
+    return F.concat(
+        F.col("event_id").cast("string"),
+        F.lit(" 10.0."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        F.expr("(user_id div 256) % 256").cast("string"),
+        F.lit(" - user"),
+        F.col("user_id").cast("string"),
+        F.lit(" ["),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit('] "'),
+        method,
+        F.lit(" /api/"),
+        F.col("event_type"),
+        F.lit("/"),
+        (F.col("event_id") % 100).cast("string"),
+        F.lit(' HTTP/1.1" '),
+        status.cast("string"),
+        F.lit(" "),
+        F.floor(F.col("value") * 10).cast("string"),
+    )
+
+
+def q_grok_access_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collector_spark.operators.grok import grok_extract
+
+    ev = _events(spark, sf_dir)
+    lines = ev.select(_grok_log_line().alias("value"))
+    out = grok_extract(lines, _GROK_LOG_PATTERN, value_col="value")
+    return out.select(
+        "log_id", "client", "user", "ts_str", "method", "path", "status", "bytes"
+    )
+
+
+def _sql_grok_access_log() -> str:
+    from collector_spark.operators.grok import compile_grok
+
+    regex, fields, types = compile_grok(_GROK_LOG_PATTERN)
+    rx = ("^" + regex + "$").replace("'", "''")
+    casts = {"bigint": "BIGINT"}
+    cols = ", ".join(
+        f"CAST(regexp_extract(line, '{rx}', {i + 1}) AS {casts[types[f]]}) AS {f}"
+        if types[f] in casts
+        else f"regexp_extract(line, '{rx}', {i + 1}) AS {f}"
+        for i, f in enumerate(fields)
+    )
+    return f"""
+WITH lines AS (
+  SELECT CAST(event_id AS VARCHAR) || ' 10.0.' || CAST(user_id % 256 AS VARCHAR)
+      || '.' || CAST(user_id // 256 % 256 AS VARCHAR)
+      || ' - user' || CAST(user_id AS VARCHAR)
+      || ' [' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || '] "'
+      || CASE event_type WHEN 'click' THEN 'GET' WHEN 'view' THEN 'HEAD'
+              WHEN 'purchase' THEN 'POST' WHEN 'error' THEN 'DELETE'
+              ELSE 'PUT' END
+      || ' /api/' || event_type || '/' || CAST(event_id % 100 AS VARCHAR)
+      || ' HTTP/1.1" '
+      || CAST(CASE WHEN value > 90 THEN 500 WHEN value > 50 THEN 404
+              ELSE 200 END AS VARCHAR)
+      || ' ' || CAST(CAST(FLOOR(value * 10) AS BIGINT) AS VARCHAR) AS line
+  FROM events)
+SELECT {cols} FROM lines WHERE regexp_matches(line, '{rx}')
+"""
+
+
+# ---------------------------------------------------------------------------
 # 4. JSON mutate (processor `json`, json.go:88-130)
 # ---------------------------------------------------------------------------
 
@@ -2218,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "high_balance_inactive": q_high_balance_inactive,
         # --- new this round (also never driver-verified) ---
         "cel_filter_time": q_cel_filter_time,
+        "grok_access_log": q_grok_access_log,
         # --- driver-verified green in CORRECTNESS_r03 (50/50) ---
         "pipeline_parse_route_agg": q_pipeline_parse_route_agg,
         "cel_filter_accept": q_cel_filter_accept,
@@ -2278,6 +2371,7 @@ def oracle_sql() -> dict[str, str]:
         "cel_filter_accept": f"SELECT event_id FROM events WHERE {_SQL_CEL_PRED}",
         "cel_filter_reject": f"SELECT event_id FROM events WHERE NOT {_SQL_CEL_PRED}",
         "cel_filter_time": _SQL_CEL_TIME,
+        "grok_access_log": _sql_grok_access_log(),
         "json_mutate": _SQL_JSON_MUTATE,
         "syslog_strip": _SQL_SYSLOG_STRIP,
         "kv_roundtrip": _SQL_KV_ROUNDTRIP,

@@ -29,7 +29,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -43,6 +43,22 @@ def _non_blank(text_col: str):
     and lands in the degenerate LSH bucket this guard exists to prevent.
     DuckDB twin: regexp_matches(text, '\\S')."""
     return F.col(text_col).rlike(r"\S")
+
+
+def _detect_dup_texts(
+    df: DataFrame, text_col: str, assume_unique_texts: bool | None
+) -> bool:
+    """Whether any two rows share the exact same text. A pure-JVM
+    scan+agg (count vs distinct-md5 count) run BEFORE the signature UDF
+    — no Python workers, one columnar read. Production callers that
+    know their corpus (e.g. already exact-deduped upstream) pass
+    ``assume_unique_texts`` to skip even this scan."""
+    if assume_unique_texts is not None:
+        return not assume_unique_texts
+    n_all, n_dist = df.agg(
+        F.count(F.lit(1)), F.count_distinct(F.md5(F.col(text_col)))
+    ).first()
+    return (n_all or 0) != (n_dist or 0)
 
 
 # ---------------------------------------------------------------------------
@@ -172,6 +188,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     threshold: float = 0.5,
     unpersist_into: list | None = None,
+    assume_unique_texts: bool | None = None,
     _debug_bucket_stats: list | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature
@@ -182,6 +199,9 @@ def minhash_lsh_pairs(
     representative BEFORE banding (so a degenerate identical-docs corpus
     cannot blow up a single bucket task) and re-expanded to member pairs
     after verification — the output is identical to banding every member.
+    ``assume_unique_texts`` skips the cheap dup-detection scan when the
+    caller already knows (True also skips the collapse machinery
+    entirely — the right call directly downstream of exact_dedup).
 
     Caching contract: the signature + group tables are persisted (each is
     referenced multiple times by the returned lazy plan). They are NOT
@@ -203,46 +223,48 @@ def minhash_lsh_pairs(
     # uses a whitespace CLASS (trim strips spaces only — a tabs-only doc
     # would slip through and recreate the blowup).
     df = df.filter(_non_blank(text_col))
+    has_dups = _detect_dup_texts(df, text_col, assume_unique_texts)
     udf = _make_minhash_udf(num_hashes, shingle_n, seed)
-    sigs_all = _ensure_udf_parallelism(df).select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("_tkey"), udf(F.col(text_col)).alias("signature")
-    )
-    # the signature table feeds both the exact-text collapse and the
-    # member map: materialize ONCE — without this the pandas-UDF stage
-    # re-runs per reference and dominates the job
     from pyspark import StorageLevel
 
-    sigs_all = sigs_all.persist(StorageLevel.MEMORY_AND_DISK)
-    if unpersist_into is not None:
-        unpersist_into.append(sigs_all)
-
-    # EXACT-DUPLICATE COLLAPSE (round-3 VERDICT #3): banding only ever
-    # sees ONE representative per distinct text, so a 100k-identical-docs
-    # corpus cannot put O(k²) pair structs into a single bucket
-    # aggregation row. Identical texts have identical signatures, so
-    # first() is deterministic here and rep-level candidates/est are
-    # EXACTLY what member-level banding would produce; verified rep pairs
-    # re-expand to member pairs through ordinary joins (streamed by the
-    # join operator, never materialized in one row).
-    grp = sigs_all.groupBy("_tkey").agg(
-        F.min(id_col).alias("_rep"),
-        F.count(F.lit(1)).alias("_k"),
-        F.first("signature").alias("signature"),
-    )
-    grp = grp.persist(StorageLevel.MEMORY_AND_DISK)
-    if unpersist_into is not None:
-        unpersist_into.append(grp)
-    sigs = grp.select(F.col("_rep").alias(id_col), "signature")
-    # one tiny action on the persisted group table: when the corpus has
-    # no exact-duplicate texts (the common case) the member map is the
-    # identity and ALL five expansion exchanges are skipped — the plan is
-    # then stage-for-stage the pre-collapse one plus a single groupBy.
-    # (This makes the function eager up to the signature stage; callers
-    # materialize the result anyway.)
-    has_dups = grp.filter(F.col("_k") > 1).limit(1).count() > 0
-    members = sigs_all.select(F.col(id_col).alias("_mid"), "_tkey").join(
-        grp.select("_tkey", "_rep", "_k"), "_tkey"
-    )
+    if not has_dups:
+        # unique texts: member == representative; the plan is exactly
+        # the pre-collapse one (no window, no expansion exchanges)
+        sigs = _ensure_udf_parallelism(df).select(
+            F.col(id_col), udf(F.col(text_col)).alias("signature")
+        )
+        # referenced 3x downstream (banded + both verify joins):
+        # materialize ONCE — without this the pandas-UDF stage re-runs
+        # per reference and dominates the job
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        if unpersist_into is not None:
+            unpersist_into.append(sigs)
+        annotated = None
+    else:
+        # EXACT-DUPLICATE COLLAPSE (round-3 VERDICT #3): banding only
+        # ever sees ONE representative per distinct text, so a
+        # 100k-identical-docs corpus cannot put O(k²) pair structs into
+        # a single bucket aggregation row. Identical texts have
+        # identical signatures, so rep-level candidates/est are EXACTLY
+        # what member-level banding would produce; verified rep pairs
+        # re-expand to member pairs through ordinary joins (streamed by
+        # the join operator, never materialized in one row). ONE window
+        # shuffle annotates every row with its group's (rep, size).
+        sigs_all = _ensure_udf_parallelism(df).select(
+            F.col(id_col),
+            F.md5(F.col(text_col)).alias("_tkey"),
+            udf(F.col(text_col)).alias("signature"),
+        )
+        w_grp = Window.partitionBy("_tkey")
+        annotated = sigs_all.withColumn(
+            "_rep", F.min(id_col).over(w_grp)
+        ).withColumn("_k", F.count(F.lit(1)).over(w_grp))
+        annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
+        if unpersist_into is not None:
+            unpersist_into.append(annotated)
+        sigs = annotated.filter(F.col(id_col) == F.col("_rep")).select(
+            F.col(id_col), "signature"
+        )
 
     # band hash only buckets (est_jaccard comes from the signatures), so
     # use native xxhash64 over the band's slots — no string concat, no md5
@@ -318,9 +340,14 @@ def minhash_lsh_pairs(
     # re-expand representatives to members. Intra-group pairs (identical
     # texts) are est 1.0 by construction; cross-group pairs inherit the
     # rep pair's estimate (identical text ⇒ identical signature). Both
-    # are ordinary joins: a k-member group streams its k² rows out of
-    # the join operator instead of materializing them in one agg row.
-    dup_members = members.filter(F.col("_k") > 1)
+    # are ordinary joins RESTRICTED to dup-group members (usually a
+    # small fraction of the corpus — AQE broadcasts when small);
+    # singleton reps pass through the left joins untouched. A k-member
+    # group streams its k² rows out of the join operator instead of
+    # materializing them in one agg row.
+    dup_members = annotated.filter(F.col("_k") > 1).select(
+        "_tkey", F.col("_rep"), F.col(id_col).alias("_mid")
+    )
     ia = dup_members.select("_tkey", F.col("_mid").alias("ma"))
     ib = dup_members.select("_tkey", F.col("_mid").alias("mb"))
     intra = (
@@ -332,15 +359,18 @@ def minhash_lsh_pairs(
             F.lit(1.0).alias("est_jaccard"),
         )
     )
-    ma = members.select(F.col("_rep").alias("id_a"), F.col("_mid").alias("ma"))
-    mb = members.select(F.col("_rep").alias("id_b"), F.col("_mid").alias("mb"))
+    ma = dup_members.select(F.col("_rep").alias("id_a"), F.col("_mid").alias("ma"))
+    mb = dup_members.select(F.col("_rep").alias("id_b"), F.col("_mid").alias("mb"))
     cross = (
-        rep_pairs.join(ma, "id_a")
-        .join(mb, "id_b")
+        rep_pairs.join(ma, "id_a", "left")
+        .join(mb, "id_b", "left")
         .select(
-            F.least("ma", "mb").alias("id_a"),
-            F.greatest("ma", "mb").alias("id_b"),
+            F.least(F.coalesce("ma", "id_a"), F.coalesce("mb", "id_b")).alias("_a"),
+            F.greatest(F.coalesce("ma", "id_a"), F.coalesce("mb", "id_b")).alias("_b"),
             "est_jaccard",
+        )
+        .select(
+            F.col("_a").alias("id_a"), F.col("_b").alias("id_b"), "est_jaccard"
         )
     )
     return intra.unionByName(cross)
@@ -663,6 +693,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     unpersist_into: list | None = None,
+    assume_unique_texts: bool | None = None,
     _debug_bucket_stats: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming.
@@ -690,30 +721,32 @@ def simhash_near_pairs(
     # (same blowup as the minhash zero signature); exclude them on a
     # whitespace class (see _non_blank — trim misses tabs-only docs)
     df = df.filter(_non_blank(text_col))
-    fp_all = _ensure_udf_parallelism(df).select(
-        F.col(id_col),
-        F.md5(F.col(text_col)).alias("_tkey"),
-        _simhash_udf()(F.col(text_col)).alias("simhash"),
-    )
+    has_dups = _detect_dup_texts(df, text_col, assume_unique_texts)
     from pyspark import StorageLevel
 
-    fp_all = fp_all.persist(StorageLevel.MEMORY_AND_DISK)
-    if unpersist_into is not None:
-        unpersist_into.append(fp_all)
-    grp = fp_all.groupBy("_tkey").agg(
-        F.min(id_col).alias("_rep"),
-        F.count(F.lit(1)).alias("_k"),
-        F.first("simhash").alias("simhash"),
-    )
-    grp = grp.persist(StorageLevel.MEMORY_AND_DISK)
-    if unpersist_into is not None:
-        unpersist_into.append(grp)
-    fp = grp.select(F.col("_rep").alias(id_col), "simhash")
-    # no-dup short-circuit, same rationale as minhash_lsh_pairs
-    has_dups = grp.filter(F.col("_k") > 1).limit(1).count() > 0
-    members = fp_all.select(F.col(id_col).alias("_mid"), "_tkey").join(
-        grp.select("_tkey", "_rep", "_k"), "_tkey"
-    )
+    if not has_dups:
+        # unique texts: exactly the pre-collapse plan (fingerprints are
+        # carried in-bucket, so no persist is needed — each row is read
+        # once by the banding stage)
+        fp = simhash_fingerprints(df, text_col, id_col)
+        annotated = None
+    else:
+        # window-annotated collapse; see minhash_lsh_pairs
+        fp_all = _ensure_udf_parallelism(df).select(
+            F.col(id_col),
+            F.md5(F.col(text_col)).alias("_tkey"),
+            _simhash_udf()(F.col(text_col)).alias("simhash"),
+        )
+        w_grp = Window.partitionBy("_tkey")
+        annotated = fp_all.withColumn(
+            "_rep", F.min(id_col).over(w_grp)
+        ).withColumn("_k", F.count(F.lit(1)).over(w_grp))
+        annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
+        if unpersist_into is not None:
+            unpersist_into.append(annotated)
+        fp = annotated.filter(F.col(id_col) == F.col("_rep")).select(
+            F.col(id_col), "simhash"
+        )
 
     def band_value(i: int):
         col = F.shiftrightunsigned(F.col("simhash"), i * width)
@@ -771,8 +804,11 @@ def simhash_near_pairs(
     if not has_dups:
         return rep_pairs
     # re-expand reps to members (see minhash_lsh_pairs): intra-group
-    # pairs are hamming 0, cross-group pairs inherit the rep distance
-    dup_members = members.filter(F.col("_k") > 1)
+    # pairs are hamming 0, cross-group pairs inherit the rep distance;
+    # joins restricted to dup-group members, singletons pass through
+    dup_members = annotated.filter(F.col("_k") > 1).select(
+        "_tkey", F.col("_rep"), F.col(id_col).alias("_mid")
+    )
     ia = dup_members.select("_tkey", F.col("_mid").alias("ma"))
     ib = dup_members.select("_tkey", F.col("_mid").alias("mb"))
     intra = (
@@ -784,15 +820,16 @@ def simhash_near_pairs(
             F.lit(0).cast("int").alias("hamming"),
         )
     )
-    ma = members.select(F.col("_rep").alias("id_a"), F.col("_mid").alias("ma"))
-    mb = members.select(F.col("_rep").alias("id_b"), F.col("_mid").alias("mb"))
+    ma = dup_members.select(F.col("_rep").alias("id_a"), F.col("_mid").alias("ma"))
+    mb = dup_members.select(F.col("_rep").alias("id_b"), F.col("_mid").alias("mb"))
     cross = (
-        rep_pairs.join(ma, "id_a")
-        .join(mb, "id_b")
+        rep_pairs.join(ma, "id_a", "left")
+        .join(mb, "id_b", "left")
         .select(
-            F.least("ma", "mb").alias("id_a"),
-            F.greatest("ma", "mb").alias("id_b"),
+            F.least(F.coalesce("ma", "id_a"), F.coalesce("mb", "id_b")).alias("_a"),
+            F.greatest(F.coalesce("ma", "id_a"), F.coalesce("mb", "id_b")).alias("_b"),
             "hamming",
         )
+        .select(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"), "hamming")
     )
     return intra.unionByName(cross)

@@ -1,0 +1,201 @@
+"""Grok pattern extraction — the logstash-style ``%{PATTERN:field}``
+language over raw log lines, compiled to ONE Catalyst regex pass.
+
+The reference's parse stage is per-line Go regex (kv.go/syslog.go); the
+north rule names "grok/regex parse" as the pipeline's first stage. This
+operator supplies the general named-pattern form: a grok expression
+compiles at config time into a single anchored Java/RE2-portable regex,
+and extraction runs as ``regexp_replace`` into a ``\\x01``-delimited
+group string plus one ``split`` — one regex execution per row however
+many fields the pattern binds (per-field ``regexp_extract`` would rerun
+the regex once per field: n× scan cost at 100 TB).
+
+Portability contract: the compiled regex stays inside the same
+dialect-portable subset the CEL ``matches()`` validator enforces (no
+lookaround, no \\p classes), so the DuckDB oracle replays extraction
+with ``regexp_extract(line, regex, i)`` byte-identically.
+
+Unmatched lines: ``drop_unmatched=True`` (default) filters them —
+grok's "_grokparsefailure drop" convention and the reference's
+drop-line-on-parse-failure behavior (kv.go:50-60); ``False`` keeps
+them with all-NULL fields.
+
+Caveat: match detection uses the marker count in the replaced string,
+so a raw line that itself contains ``\\x01`` bytes could false-match;
+binary-unsafe inputs should be filtered upstream (the reference's line
+model is text).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class GrokError(ValueError):
+    """Invalid grok expression — rejected at config (plan-build) time."""
+
+
+#: built-in pattern library (the commonly used logstash core subset),
+#: every entry portable across Java regex (Spark rlike/regexp_replace),
+#: RE2 (DuckDB), and Python re
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NONNEGINT": r"\d+",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "NUMBER": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "HOSTNAME": r"[A-Za-z0-9][A-Za-z0-9.-]*",
+    "IPORHOST": r"(?:\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}|[A-Za-z0-9][A-Za-z0-9.-]*)",
+    "USER": r"[A-Za-z0-9._-]+",
+    "USERNAME": r"[A-Za-z0-9._-]+",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARNING|WARN|ERROR|FATAL|CRITICAL)",
+    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "PATH": r"(?:/[\w.-]*)+",
+    "QS": r'"(?:[^"\\]|\\.)*"',
+    "SYSLOGPRI": r"<\d{1,3}>",
+}
+
+#: grok patterns whose captures get a numeric Spark type (try_cast —
+#: a syntactically-matched-but-unrepresentable value becomes NULL
+#: instead of an ANSI-mode job kill)
+_NUMERIC_TYPES = {
+    "INT": "bigint",
+    "NONNEGINT": "bigint",
+    "BASE10NUM": "double",
+    "NUMBER": "double",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+#: same portability gate CEL matches() uses: constructs that diverge
+#: across Java regex / RE2 / Python re
+_NONPORTABLE = re.compile(r"\(\?(?!:)|\\[pP]|\\[1-9]|\\[AzZG]")
+
+_MARKER = "\x01"
+
+
+def compile_grok(
+    pattern: str, extra_patterns: dict[str, str] | None = None
+) -> tuple[str, list[str], dict[str, str]]:
+    """Compile a grok expression → (regex, field names in group order,
+    field → spark type). Literal text between ``%{..}`` references is
+    regex (logstash semantics) and must stay in the portable dialect
+    subset. Raises GrokError at config time on unknown patterns,
+    duplicate field names, or non-portable literal regex."""
+    library = {**GROK_PATTERNS, **(extra_patterns or {})}
+    fields: list[str] = []
+    types: dict[str, str] = {}
+
+    def sub(m: re.Match) -> str:
+        pat, name = m.group(1), m.group(2)
+        if pat not in library:
+            raise GrokError(f"unknown grok pattern %{{{pat}}}")
+        body = library[pat]
+        if name is None:
+            return f"(?:{body})"
+        if name in fields:
+            raise GrokError(f"duplicate grok field {name!r}")
+        fields.append(name)
+        types[name] = _NUMERIC_TYPES.get(pat, "string")
+        return f"({body})"
+
+    regex = _GROK_REF.sub(sub, pattern)
+    if not fields:
+        raise GrokError("grok pattern binds no fields (no %{PAT:name})")
+    if _NONPORTABLE.search(_GROK_REF.sub("", pattern)):
+        raise GrokError(
+            "literal regex in grok pattern uses non-portable constructs "
+            "(lookaround/backrefs/\\p classes diverge across dialects)"
+        )
+    try:
+        n_groups = re.compile(regex).groups
+    except re.error as exc:
+        raise GrokError(f"grok pattern compiles to invalid regex: {exc}") from None
+    if n_groups != len(fields):
+        raise GrokError(
+            "literal regex in grok pattern must not add capturing groups "
+            "(use (?:..) so group order matches field order)"
+        )
+    return regex, fields, types
+
+
+def grok_columns(
+    value: Column, regex: str, fields: list[str], types: dict[str, str]
+) -> tuple[list[Column], Column]:
+    """(extracted field columns, matched flag) off ONE regex execution:
+    the anchored pattern rewrites the line to its marker-joined capture
+    groups; an unmatched line passes through regexp_replace unchanged
+    and yields the wrong part count."""
+    anchored = f"^{regex}$"
+    repl = _MARKER.join(f"${i + 1}" for i in range(len(fields)))
+    parts = F.split(F.regexp_replace(value, anchored, repl), _MARKER)
+    if len(fields) == 1:
+        # a 1-field split count can't distinguish match from pass-through
+        matched = value.rlike(anchored)
+    else:
+        matched = F.size(parts) == F.lit(len(fields))
+    cols = []
+    for i, name in enumerate(fields):
+        c = F.when(matched, parts[i]).otherwise(F.lit(None))
+        if types[name] != "string":
+            c = c.try_cast(types[name])
+        cols.append(c.alias(name))
+    return cols, matched
+
+
+def grok_extract(
+    df: DataFrame,
+    pattern: str,
+    value_col: str = "value",
+    drop_unmatched: bool = True,
+    extra_patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Append one typed column per grok field. ``drop_unmatched=True``
+    filters lines the pattern rejects (reference drop-on-parse-failure,
+    kv.go:50-60); ``False`` keeps them with NULL fields."""
+    regex, fields, types = compile_grok(pattern, extra_patterns)
+    clash = set(fields) & set(df.columns)
+    if clash:
+        raise GrokError(f"grok fields collide with existing columns: {sorted(clash)}")
+    cols, matched = grok_columns(F.col(value_col), regex, fields, types)
+    out = df.select("*", *cols)
+    if drop_unmatched:
+        # re-derive the flag from the projected columns' source: cheap
+        # (same single regex pass feeds both through CSE); NULL-safe
+        out = out.filter(matched)
+    return out
+
+
+class GrokParser:
+    """Pipeline processor: ``{"kind": "grok", "pattern": ...}`` — lines
+    in, JSON objects of the extracted fields out (the kv/syslog
+    processor line model), unmatched lines dropped."""
+
+    def __init__(
+        self,
+        pattern: str,
+        value_col: str = "value",
+        extra_patterns: dict[str, str] | None = None,
+    ):
+        self.value_col = value_col
+        self.regex, self.fields, self.types = compile_grok(pattern, extra_patterns)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        cols, matched = grok_columns(
+            F.col(self.value_col), self.regex, self.fields, self.types
+        )
+        keep = [c for c in df.columns if c != self.value_col]
+        return (
+            df.filter(matched)
+            .select(*keep, F.to_json(F.struct(*cols)).alias(self.value_col))
+        )

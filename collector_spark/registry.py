@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Callable
 
 from collector_spark.operators.cel import CelFilter
+from collector_spark.operators.grok import GrokParser
 from collector_spark.operators.json_mutate import JsonMutator
 from collector_spark.operators.kv import KvParser
 from collector_spark.operators.syslog import SyslogParser
@@ -23,6 +24,7 @@ PROCESSOR_REGISTRY: dict[str, Callable] = {
     "json": JsonMutator,
     "syslog": SyslogParser,
     "kv": KvParser,
+    "grok": GrokParser,
 }
 
 

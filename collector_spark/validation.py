@@ -93,6 +93,13 @@ PROCESSOR_SCHEMAS: dict[str, dict[str, Spec]] = {
         "as_json": spec(bool),
         "engine": spec(str, choices=_ENGINES),
     },
+    # logstash-style %{PATTERN:field} extraction (operators/grok.py);
+    # the general form of the north rule's grok/regex parse stage
+    "grok": {
+        "pattern": spec(str, required=True),
+        "value_col": spec(str),
+        "extra_patterns": spec(dict),
+    },
 }
 
 _KAFKA_COMMON = {
