@@ -192,6 +192,124 @@ def _grok_log_line() -> "F.Column":
     )
 
 
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue on returned
+    items in one quarter. Scale shape: lineitem filters on the return
+    flag BEFORE the orderkey shuffle; the per-customer aggregate runs
+    BEFORE customer/nation attach (aggregate-then-join keeps the wide
+    customer row out of the big shuffle); nation broadcasts."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_SQL_RETURNED_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with their customer. Scale shape: the HAVING aggregate
+    runs first on (orderkey, qty) only — the big table collapses to the
+    few qualifying keys before any wide row is joined."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 210)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey"))
+    )
+
+
+_SQL_LARGE_VOLUME = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > 210)
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey
+"""
+
+
+def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day order revenue with a 7-day rolling sum (range frame over
+    day numbers). Scale shape: the window input is the DAILY aggregate
+    (one row per day — thousands of rows at any corpus size), so the
+    global orderBy window is a deliberate tiny-table single partition,
+    not a scale trap. The rolling sum runs over DECIMAL(18,2) so frame
+    summation order cannot produce float drift against the oracle."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
+        .withColumn("_d", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+    )
+    w = Window.orderBy("_d").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "day_rev",
+        F.sum(F.col("day_rev").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_rev"),
+    )
+
+
+_SQL_ROLLING_REV = """
+SELECT day, day_rev,
+       CAST(SUM(CAST(day_rev AS DECIMAL(18,2))) OVER (
+         ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rolling_rev
+FROM (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         ROUND(SUM(o_totalprice), 2) AS day_rev,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+  FROM orders GROUP BY 1, 3)
+"""
+
+
 def q_grok_access_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collector_spark.operators.grok import grok_extract
 
@@ -2311,6 +2429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (also never driver-verified) ---
         "cel_filter_time": q_cel_filter_time,
         "grok_access_log": q_grok_access_log,
+        "returned_item_customers": q_returned_item_customers,
+        "large_volume_customers": q_large_volume_customers,
+        "rolling_7day_revenue": q_rolling_7day_revenue,
         # --- driver-verified green in CORRECTNESS_r03 (50/50) ---
         "pipeline_parse_route_agg": q_pipeline_parse_route_agg,
         "cel_filter_accept": q_cel_filter_accept,
@@ -2372,6 +2493,9 @@ def oracle_sql() -> dict[str, str]:
         "cel_filter_reject": f"SELECT event_id FROM events WHERE NOT {_SQL_CEL_PRED}",
         "cel_filter_time": _SQL_CEL_TIME,
         "grok_access_log": _sql_grok_access_log(),
+        "returned_item_customers": _SQL_RETURNED_CUSTOMERS,
+        "large_volume_customers": _SQL_LARGE_VOLUME,
+        "rolling_7day_revenue": _SQL_ROLLING_REV,
         "json_mutate": _SQL_JSON_MUTATE,
         "syslog_strip": _SQL_SYSLOG_STRIP,
         "kv_roundtrip": _SQL_KV_ROUNDTRIP,
