@@ -2026,6 +2026,40 @@ SELECT doc_id, term, tf, df_docs FROM ranked WHERE rn = 1
 """
 
 
+def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM token-id encoding: top-500 vocabulary (deterministic id order),
+    docs truncated at 16 positions, OOV → -1. The vocabulary broadcasts,
+    so encoding is a map-only stage over the exploded corpus."""
+    from collector_spark.operators.corpus import encode_tokens
+
+    return encode_tokens(
+        _documents(spark, sf_dir), vocab_size=500, max_pos=16
+    )
+
+
+_SQL_ENCODE_TOKENS = """
+WITH vocab AS (
+  SELECT token,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS INT) AS token_id
+  FROM (
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT UNNEST(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) AS token
+          FROM documents)
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 500)
+),
+toks AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos, t[pos + 1] AS token FROM (
+    SELECT doc_id, t, UNNEST(range(len(t))) AS pos
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS t
+          FROM documents))
+  WHERE pos < 16
+)
+SELECT doc_id, pos, COALESCE(token_id, -1) AS token_id
+FROM toks LEFT JOIN vocab USING (token)
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global vocabulary histogram head: top-50 tokens by corpus
     frequency (tie-broken by token). TakeOrderedAndProject top-k — the
@@ -2432,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_customers": q_returned_item_customers,
         "large_volume_customers": q_large_volume_customers,
         "rolling_7day_revenue": q_rolling_7day_revenue,
+        "encode_tokens": q_encode_tokens,
         # --- driver-verified green in CORRECTNESS_r03 (50/50) ---
         "pipeline_parse_route_agg": q_pipeline_parse_route_agg,
         "cel_filter_accept": q_cel_filter_accept,
@@ -2496,6 +2531,7 @@ def oracle_sql() -> dict[str, str]:
         "returned_item_customers": _SQL_RETURNED_CUSTOMERS,
         "large_volume_customers": _SQL_LARGE_VOLUME,
         "rolling_7day_revenue": _SQL_ROLLING_REV,
+        "encode_tokens": _SQL_ENCODE_TOKENS,
         "json_mutate": _SQL_JSON_MUTATE,
         "syslog_strip": _SQL_SYSLOG_STRIP,
         "kv_roundtrip": _SQL_KV_ROUNDTRIP,

@@ -52,6 +52,7 @@ __all__ = [
     "quality_filter_report",
     "salient_terms",
     "vocab_top_k",
+    "encode_tokens",
     "hash_split",
     "split_summary",
     "stratified_sample",
@@ -413,6 +414,54 @@ def vocab_top_k(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(k)
+    )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_pos: int | None = None,
+    unk_id: int = -1,
+) -> DataFrame:
+    """Vocabulary-id encoding: the tokenize → id-map step of an LM data
+    pipeline. Builds the top-``vocab_size`` vocabulary (ids assigned in
+    (count DESC, token ASC) order — fully deterministic), then emits one
+    (id, pos, token_id) row per token, OOV → ``unk_id``. ``max_pos``
+    truncates each document (context-length cap).
+
+    Scale shape: the vocabulary is vocab_size rows — BROADCAST to the
+    token join, so encoding is a map-only stage over the exploded
+    corpus; no shuffle touches the (huge) token table. Row output
+    (id, pos, token_id) keeps columns scalar (exact DuckDB replay; an
+    array output would also force per-doc re-assembly state).
+    """
+    vocab = (
+        vocab_top_k(df, vocab_size, text_col)
+        .select(
+            "token",
+            (
+                F.row_number().over(
+                    Window.orderBy(F.desc("cnt"), F.asc("token"))
+                )
+                - 1
+            ).alias("token_id"),
+        )
+    )
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_words(text_col)).alias("pos", "token"),
+    )
+    if max_pos is not None:
+        toks = toks.filter(F.col("pos") < max_pos)
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "pos",
+            F.coalesce(F.col("token_id"), F.lit(unk_id)).alias("token_id"),
+        )
     )
 
 

@@ -6,9 +6,11 @@ north rule names "grok/regex parse" as the pipeline's first stage. This
 operator supplies the general named-pattern form: a grok expression
 compiles at config time into a single anchored Java/RE2-portable regex,
 and extraction runs as ``regexp_replace`` into a ``\\x01``-delimited
-group string plus one ``split`` — one regex execution per row however
-many fields the pattern binds (per-field ``regexp_extract`` would rerun
-the regex once per field: n× scan cost at 100 TB).
+group string plus one ``split``. Every field column references the SAME
+replace/split expression tree, so whole-stage codegen's subexpression
+elimination evaluates the regex once per row in the projection (a
+per-field ``regexp_extract`` formulation would be n distinct regex
+trees — n× regex cost at 100 TB, CSE cannot merge them).
 
 Portability contract: the compiled regex stays inside the same
 dialect-portable subset the CEL ``matches()`` validator enforces (no

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from collector_spark.operators.corpus import (
     contamination_profile,
     dup_span_profile,
+    encode_tokens,
     hash_split,
     quality_filter_report,
     remove_duplicated_spans,
@@ -130,6 +131,24 @@ def test_vocab_top_k_order_and_ties(spark):
     rows = vocab_top_k(df, k=2).collect()
     # counts: a=3, b=3, c=2 → ties broken by token asc
     assert [(r.token, r.cnt) for r in rows] == [("a", 3), ("b", 3)]
+
+
+def test_encode_tokens_ids_oov_and_truncation(spark):
+    df = _docs(spark, [(1, "b a b c a b z"), (2, "c a q")])
+    # vocab_size=3: counts b=3, a=3, c=2 → ids a=0, b=1, c=2 (ties by
+    # token asc); z/q are OOV → -1
+    out = {
+        (r.doc_id, r.pos): r.token_id
+        for r in encode_tokens(df, vocab_size=3).collect()
+    }
+    assert out == {
+        (1, 0): 1, (1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 0, (1, 5): 1,
+        (1, 6): -1,
+        (2, 0): 2, (2, 1): 0, (2, 2): -1,
+    }
+    # max_pos truncates each document's tail
+    trunc = encode_tokens(df, vocab_size=3, max_pos=2).collect()
+    assert len(trunc) == 4 and all(r.pos < 2 for r in trunc)
 
 
 def test_quality_filter_first_failing_rule_wins(spark):
