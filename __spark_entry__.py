@@ -310,6 +310,29 @@ FROM (
 """
 
 
+def q_cel_filter_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cel-go int() conversion in a rule over the raw props JSON lines
+    (json mode): int(event.k) % 7 == 3 — conversion + arithmetic
+    compiled to native Catalyst, truncation semantics aligned across
+    Spark/DuckDB/Python (Conv docstring)."""
+    from collector_spark.operators.cel import CelFilter
+
+    ev = _events(spark, sf_dir)
+    filt = CelFilter(
+        rules=["int(event.k) % 7 == 3"], action="accept",
+        mode="json", value_col="props",
+    )
+    return filt.apply(ev.select("event_id", "props")).select("event_id")
+
+
+_SQL_CEL_CONV = """
+SELECT event_id FROM events
+WHERE COALESCE(
+  TRY_CAST(TRUNC(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)
+    % 7 = 3, FALSE)
+"""
+
+
 def q_grok_access_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collector_spark.operators.grok import grok_extract
 
@@ -2462,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "high_balance_inactive": q_high_balance_inactive,
         # --- new this round (also never driver-verified) ---
         "cel_filter_time": q_cel_filter_time,
+        "cel_filter_conv": q_cel_filter_conv,
         "grok_access_log": q_grok_access_log,
         "returned_item_customers": q_returned_item_customers,
         "large_volume_customers": q_large_volume_customers,
@@ -2527,6 +2551,7 @@ def oracle_sql() -> dict[str, str]:
         "cel_filter_accept": f"SELECT event_id FROM events WHERE {_SQL_CEL_PRED}",
         "cel_filter_reject": f"SELECT event_id FROM events WHERE NOT {_SQL_CEL_PRED}",
         "cel_filter_time": _SQL_CEL_TIME,
+        "cel_filter_conv": _SQL_CEL_CONV,
         "grok_access_log": _sql_grok_access_log(),
         "returned_item_customers": _SQL_RETURNED_CUSTOMERS,
         "large_volume_customers": _SQL_LARGE_VOLUME,

@@ -37,7 +37,9 @@ surface the reference's msgraph window rules use
 with ``ts ± dur`` / ``ts - ts`` arithmetic (all compiled to epoch
 seconds; a malformed field value is NULL → non-match on every
 backend; mixed ts/dur comparisons and ``ts + ts`` are config-time
-errors, like cel-go's type checker). Anything else raises
+errors, like cel-go's type checker), and the ``int()/double()/
+string()`` conversions (portable truncate-toward-zero semantics, see
+``Conv``). Anything else raises
 ``CelSyntaxError`` at build time (mirrors validateRule,
 engine.go:88-106).
 
@@ -135,6 +137,27 @@ class DurLit:
 
     seconds: float
     text: str
+
+
+@dataclass
+class Conv:
+    """``int(x)`` / ``double(x)`` / ``string(x)`` — cel-go type
+    conversions. Portable semantics (identical on all three backends,
+    slightly lenient vs cel-go, documented):
+
+    - ``int(x)``: x as double, truncated toward zero (cel-go errors on
+      ``int("5.2")``; here it is 5 on every backend — DuckDB's CAST
+      rounds, so the SQL side routes through TRUNC). Unparseable →
+      NULL → non-match.
+    - ``double(x)``: numeric parse; unparseable → non-match.
+    - ``string(x)``: INTEGER-valued operands only (the routing-rule
+      usage): x → double → trunc → bigint → string. Float formatting
+      ("1.0E10" vs "10000000000.0") diverges across dialects, so
+      general float→string is deliberately not offered.
+    """
+
+    fn: str  # int | double | string
+    operand: object  # Path | Lit | Arith | Conv
 
 
 @dataclass
@@ -378,6 +401,8 @@ def _validate_time_usage(node) -> None:
     elif isinstance(node, Arith):
         _validate_time_usage(node.left)
         _validate_time_usage(node.right)
+    elif isinstance(node, Conv):
+        _validate_time_usage(node.operand)
     elif isinstance(node, (Exists, ForAll, ExistsOne)):
         _validate_time_usage(node.body)
     elif isinstance(node, (ListFilter,)):
@@ -603,6 +628,16 @@ class _Parser:
                     if method == "timestamp":
                         return TsLit(_parse_rfc3339(arg.value), arg.value)
                     return DurLit(_parse_duration(arg.value), arg.value)
+                if method in ("int", "double", "string"):
+                    self.next()  # (
+                    arg = self.parse_add()
+                    self.expect(")")
+                    if not isinstance(arg, (Path, Lit, Arith, Conv)):
+                        raise CelSyntaxError(
+                            f"{method}() requires a field, literal, or "
+                            "arithmetic operand"
+                        )
+                    return Conv(method, arg)
                 raise CelSyntaxError(f"unknown function {method!r}")
             self.next()  # (
             if method in ("exists", "all", "exists_one", "filter", "map"):
@@ -836,7 +871,29 @@ class ColumnCompiler:
             return self._strfn(node)
         if isinstance(node, Arith):
             return self._arith(node)
+        if isinstance(node, Conv):
+            return self._conv(node)
         raise CelSyntaxError(f"unsupported operand {node!r}")
+
+    def _conv(self, node: Conv) -> Column:
+        inner = node.operand
+        if isinstance(inner, Conv):
+            col = self._conv(inner)
+        elif isinstance(inner, Lit):
+            col = F.lit(inner.value)
+        elif isinstance(inner, Path):
+            col = self._raw_path(inner)
+        elif isinstance(inner, Arith):
+            col = self._arith(inner)
+        else:
+            raise CelSyntaxError(f"unsupported {node.fn}() operand {inner!r}")
+        as_num = col.try_cast("double")
+        if node.fn == "double":
+            return as_num
+        # double→bigint try_cast truncates toward zero (DuckDB twin uses
+        # TRUNC because its CAST rounds); unparseable → NULL → non-match
+        as_int = as_num.try_cast("bigint")
+        return as_int if node.fn == "int" else as_int.cast("string")
 
     def _arith(self, node: Arith) -> Column:
         """Arithmetic subexpression: paths are numeric by context."""
@@ -851,6 +908,8 @@ class ColumnCompiler:
                 return self._typed_path(n, 1.0)  # numeric cast
             if isinstance(n, StrFn) and n.fn == "size":
                 return self._strfn(n)
+            if isinstance(n, Conv) and n.fn in ("int", "double"):
+                return self._conv(n)
             raise CelSyntaxError(f"unsupported arithmetic operand {n!r}")
 
         left, right = num(node.left), num(node.right)
@@ -918,6 +977,11 @@ class ColumnCompiler:
                     isinstance(node.left, Arith) or isinstance(node.right, Arith)
                 ):
                     like = 1.0  # arithmetic side → compare numerically
+                if like is None:
+                    # a numeric conversion side types the other side
+                    for side in (node.left, node.right):
+                        if isinstance(side, Conv) and side.fn in ("int", "double"):
+                            like = 1.0
                 left = self._operand(node.left, like)
                 right = self._operand(node.right, like)
                 if isinstance(node.left, Lit) and isinstance(node.right, Path):
@@ -1197,6 +1261,10 @@ class SqlCompiler:
                 isinstance(node.left, Arith) or isinstance(node.right, Arith)
             ):
                 like = 1.0  # arithmetic side → compare numerically
+            if like is None:
+                for side in (node.left, node.right):
+                    if isinstance(side, Conv) and side.fn in ("int", "double"):
+                        like = 1.0
             left = (
                 self._typed_path(node.left, like)
                 if isinstance(node.left, Path)
@@ -1288,7 +1356,30 @@ class SqlCompiler:
             return self._sql_size(node)
         if isinstance(node, Arith):
             return self._arith_sql(node)
+        if isinstance(node, Conv):
+            return self._conv_sql(node)
         raise CelSyntaxError(f"unsupported operand {node!r}")
+
+    def _conv_sql(self, node: Conv) -> str:
+        inner = node.operand
+        if isinstance(inner, Conv):
+            x = self._conv_sql(inner)
+        elif isinstance(inner, Lit):
+            x = self._lit(inner.value)
+        elif isinstance(inner, Path):
+            x = self._raw_path(inner)
+        elif isinstance(inner, Arith):
+            x = self._arith_sql(inner)
+        else:
+            raise CelSyntaxError(f"unsupported {node.fn}() operand {inner!r}")
+        as_num = f"TRY_CAST({x} AS DOUBLE)"
+        if node.fn == "double":
+            return as_num
+        # TRUNC: DuckDB CAST(double AS BIGINT) rounds, Spark truncates
+        as_int = f"TRY_CAST(TRUNC({as_num}) AS BIGINT)"
+        if node.fn == "int":
+            return as_int
+        return f"CAST({as_int} AS VARCHAR)"
 
     def _sql_time_side(self, node) -> str:
         """Mirror of ColumnCompiler._time_side. DuckDB's naive-TIMESTAMP
@@ -1319,6 +1410,8 @@ class SqlCompiler:
                 return self._typed_path(n, 1.0)
             if isinstance(n, StrFn) and n.fn == "size":
                 return self._sql_size(n)
+            if isinstance(n, Conv) and n.fn in ("int", "double"):
+                return self._conv_sql(n)
             raise CelSyntaxError(f"unsupported arithmetic operand {n!r}")
 
         return f"({num(node.left)} {node.op} {num(node.right)})"
@@ -1408,6 +1501,39 @@ def _py_resolve(event: dict, path: Path):
     return cur
 
 
+def _py_conv(node: Conv, event: dict):
+    """Mirror of ColumnCompiler._conv / SqlCompiler._conv_sql: value as
+    double, int/string truncate toward zero; failures → CelEvalError →
+    non-match (matching try_cast NULL on the other backends)."""
+    import math
+
+    inner = node.operand
+    if isinstance(inner, Conv):
+        val = _py_conv(inner, event)
+    elif isinstance(inner, Lit):
+        val = inner.value
+    elif isinstance(inner, Path):
+        val = _py_resolve(event, inner)
+    elif isinstance(inner, Arith):
+        val = eval_python(inner, event)
+    else:
+        raise CelEvalError(f"unsupported {node.fn}() operand {inner!r}")
+    if isinstance(val, bool) or val is None:
+        raise CelEvalError(f"{node.fn}() on {val!r}")
+    try:
+        num = float(val)
+    except (TypeError, ValueError):
+        raise CelEvalError(f"{node.fn}() cannot convert {val!r}") from None
+    if node.fn == "double":
+        return num
+    if math.isnan(num) or math.isinf(num):
+        raise CelEvalError(f"{node.fn}() on non-finite {num!r}")
+    t = int(math.trunc(num))
+    if not -(2**63) <= t < 2**63:
+        raise CelEvalError("int() overflow")
+    return t if node.fn == "int" else str(t)
+
+
 def _py_time_side(node, event: dict) -> float:
     """Mirror of the Column/SQL time sides: epoch/interval seconds. A
     field that is missing or fails to parse raises CelEvalError →
@@ -1439,6 +1565,8 @@ def eval_python(node, event: dict):
         return node.value
     if isinstance(node, Path):
         return _py_resolve(event, node)
+    if isinstance(node, Conv):
+        return _py_conv(node, event)
     if isinstance(node, Or):
         try:
             if eval_python(node.left, event) is True:

@@ -349,3 +349,72 @@ def test_time_duckdb_backend(rule):
 def test_invalid_time_rules_rejected(rule):
     with pytest.raises(C.CelSyntaxError):
         C.parse_rule(rule)
+
+
+# ---------------------------------------------------------------------------
+# cel-go conversions: int() / double() / string()
+# ---------------------------------------------------------------------------
+
+CONV_EVENTS = [
+    '{"code": "200", "ratio": "2.5", "n": 7}',
+    '{"code": "oops", "ratio": "-3.7", "n": 2}',
+    '{"code": 404, "ratio": 0.5, "n": 0}',
+]
+
+CONV_TRUTH = {
+    'int(event.code) == 200': [True, False, False],
+    'int(event.code) == 404': [False, False, True],
+    # truncation toward zero on every backend (DuckDB CAST would round)
+    'int(event.ratio) == 2': [True, False, False],
+    'int(event.ratio) == -3': [False, True, False],
+    'double(event.ratio) > 1.0': [True, False, False],
+    'string(event.n) == "7"': [True, False, False],
+    # conversion inside arithmetic
+    'int(event.n) + 1 == 8': [True, False, False],
+    # conversion as an in-list operand
+    'int(event.ratio) in [0, 2]': [True, False, True],
+}
+
+
+@pytest.mark.parametrize("rule", list(CONV_TRUTH))
+def test_conv_python_oracle(rule):
+    ast = C.parse_rule(rule)
+    got = [C.rule_detection_python(e, [ast]) for e in CONV_EVENTS]
+    assert got == CONV_TRUTH[rule], rule
+
+
+@pytest.mark.parametrize("rule", list(CONV_TRUTH))
+def test_conv_spark_backend(spark, rule):
+    df = spark.createDataFrame([(e,) for e in CONV_EVENTS], ["value"])
+    filt = C.CelFilter(rules=[rule], action="accept", mode="json")
+    kept = {r.value for r in filt.apply(df).collect()}
+    expected = {e for e, m in zip(CONV_EVENTS, CONV_TRUTH[rule]) if m}
+    assert kept == expected, rule
+
+
+@pytest.mark.parametrize("rule", list(CONV_TRUTH))
+def test_conv_duckdb_backend(rule):
+    filt = C.CelFilter(rules=[rule], action="accept", mode="json")
+    pred = filt.sql_predicate()
+    con = duckdb.connect()
+    got = []
+    for e in CONV_EVENTS:
+        escaped = e.replace("'", "''")
+        val = con.execute(
+            f"select {pred.replace('value', f'''CAST('{escaped}' AS VARCHAR)''')}"
+        ).fetchone()[0]
+        got.append(bool(val))
+    assert got == CONV_TRUTH[rule], rule
+
+
+@pytest.mark.parametrize(
+    "rule",
+    [
+        "int() == 1",                      # missing operand
+        "int(event.a, event.b) == 1",      # too many operands
+        'int(timestamp("2024-01-05T00:00:00Z")) == 1',  # time literal inside conv
+    ],
+)
+def test_conv_invalid_rules_rejected(rule):
+    with pytest.raises(C.CelSyntaxError):
+        C.parse_rule(rule)

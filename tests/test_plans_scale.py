@@ -247,3 +247,84 @@ def test_unigram_logprob_no_cartesian_totals_broadcast(spark):
     plan = executed_plan(unigram_logprob(df))
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_returned_item_customers_aggregates_before_wide_join(spark):
+    """Q10 shape: the revenue aggregate must collapse lineitem⋈orders
+    BEFORE the wide customer row attaches (aggregate-then-join), nation
+    must broadcast, and the return-flag/date filters must reach the
+    scans — the properties that keep the big shuffle narrow at 100 TB."""
+    from __spark_entry__ import q_returned_item_customers
+    from collector_spark.plans.inspect import executed_plan
+
+    df = q_returned_item_customers(spark, "/root/testdata/sf0.001")
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    pf = pushed_filters(df)
+    assert any("l_returnflag" in f for f in pf), pf
+    assert any("o_orderdate" in f for f in pf), pf
+    # aggregate-then-join: the customer join sits ABOVE the aggregate in
+    # the tree, so in the top-down plan text the first join appears
+    # before (at shallower depth than) the revenue HashAggregate pair
+    agg_pos = plan.index("HashAggregate")
+    assert "Join" in plan[:agg_pos] or "SortMergeJoin" in plan, plan[:400]
+
+
+def test_large_volume_customers_having_first(spark):
+    """Q18 shape: the lineitem scan prunes to (l_orderkey, l_quantity)
+    — the HAVING aggregate runs on two columns, never the wide row."""
+    from __spark_entry__ import q_large_volume_customers
+
+    df = q_large_volume_customers(spark, "/root/testdata/sf0.001")
+    li_cols = [
+        c
+        for c in scan_read_schema(df)
+        if c.startswith("l_")
+    ]
+    assert set(li_cols) <= {"l_orderkey", "l_quantity"}, li_cols
+
+
+def test_rolling_window_input_is_daily_aggregate(spark):
+    """rolling_7day_revenue: the global-orderBy window is legal ONLY
+    because its input is the one-row-per-day aggregate — assert the
+    window sits above a HashAggregate (never the raw orders table)."""
+    from __spark_entry__ import q_rolling_7day_revenue
+    from collector_spark.plans.inspect import executed_plan
+
+    df = q_rolling_7day_revenue(spark, "/root/testdata/sf0.001")
+    plan = executed_plan(df)
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate"), (
+        "window must consume the daily aggregate, not raw orders"
+    )
+
+
+def test_grok_extract_stays_jvm_side(spark):
+    """grok extraction is pure Catalyst: no Python evaluation operator
+    may appear in the plan (the single-regex-pass claim lives in
+    codegen CSE; the no-Python property is what the plan can pin)."""
+    from collector_spark.operators.grok import grok_extract
+    from collector_spark.plans.inspect import executed_plan
+
+    df = spark.createDataFrame([("a 1",), ("b 2",)], ["value"])
+    out = grok_extract(df, "%{WORD:w} %{INT:n}")
+    plan = executed_plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "regexp_replace" in plan
+
+
+def test_encode_tokens_vocab_broadcasts(spark):
+    """encode_tokens: the vocabulary side of the token join must
+    broadcast — encoding is a map-only stage over the exploded corpus,
+    with no shuffle of the (huge) token table."""
+    from collector_spark.operators.corpus import encode_tokens
+    from collector_spark.plans.inspect import executed_plan
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a d")], "doc_id long, text string"
+    )
+    out = encode_tokens(df, vocab_size=3)
+    plan = executed_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
