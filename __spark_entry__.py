@@ -310,6 +310,45 @@ FROM (
 """
 
 
+def q_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline log merge (stack-trace folding): deterministic log
+    lines constructed from events (per-event_type streams, start lines
+    where value > 30), folded by the start-flag cumulative-sum window.
+    One shuffle, partitioned by stream."""
+    from collector_spark.operators.multiline import merge_multiline
+
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        F.col("event_type").alias("path"),
+        F.col("event_id").alias("line_no"),
+        F.when(
+            F.col("value") > 30,
+            F.concat(F.lit("ERR "), F.col("event_id").cast("string"), F.lit(" boom")),
+        )
+        .otherwise(F.concat(F.lit("  at frame "), F.col("event_id").cast("string")))
+        .alias("value"),
+    )
+    return merge_multiline(lines, r"^ERR ")
+
+
+_SQL_MULTILINE = """
+WITH lines AS (
+  SELECT event_type AS path, event_id AS line_no,
+         CASE WHEN value > 30 THEN 'ERR ' || CAST(event_id AS VARCHAR) || ' boom'
+              ELSE '  at frame ' || CAST(event_id AS VARCHAR) END AS v
+  FROM events),
+flagged AS (
+  SELECT path, line_no, v,
+         SUM(CASE WHEN regexp_matches(v, '^ERR ') THEN 1 ELSE 0 END)
+           OVER (PARTITION BY path ORDER BY line_no) AS rec
+  FROM lines)
+SELECT path, CAST(rec AS BIGINT) AS record_no, MIN(line_no) AS start_line,
+       string_agg(v, chr(10) ORDER BY line_no) AS record,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM flagged GROUP BY path, rec
+"""
+
+
 def q_cel_filter_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cel-go int() conversion in a rule over the raw props JSON lines
     (json mode): int(event.k) % 7 == 3 — conversion + arithmetic
@@ -2486,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (also never driver-verified) ---
         "cel_filter_time": q_cel_filter_time,
         "cel_filter_conv": q_cel_filter_conv,
+        "multiline_merge": q_multiline_merge,
         "grok_access_log": q_grok_access_log,
         "returned_item_customers": q_returned_item_customers,
         "large_volume_customers": q_large_volume_customers,
@@ -2552,6 +2592,7 @@ def oracle_sql() -> dict[str, str]:
         "cel_filter_reject": f"SELECT event_id FROM events WHERE NOT {_SQL_CEL_PRED}",
         "cel_filter_time": _SQL_CEL_TIME,
         "cel_filter_conv": _SQL_CEL_CONV,
+        "multiline_merge": _SQL_MULTILINE,
         "grok_access_log": _sql_grok_access_log(),
         "returned_item_customers": _SQL_RETURNED_CUSTOMERS,
         "large_volume_customers": _SQL_LARGE_VOLUME,
