@@ -236,6 +236,60 @@ def test_stateful_running_counts_across_microbatches(spark, tmp_path):
     assert latest["view"].batches == 1
 
 
+def test_stateful_state_survives_query_restart(spark, tmp_path):
+    """applyInPandasWithState state must be RESTORED from the state
+    store on a fresh query over the same checkpoint dir — the per-key
+    totals keep accumulating after a stop/restart, they don't reset
+    (the cross-restart half of the stateful contract; the cross-batch
+    half is test_stateful_running_counts_across_microbatches)."""
+    from collector_spark.streaming.stateful import running_counts
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "b1.json").write_text(
+        json.dumps({"event_type": "click", "value": 1.0})
+        + "\n"
+        + json.dumps({"event_type": "click", "value": 2.0})
+    )
+
+    emitted = []
+
+    def start():
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        stream = spark.readStream.schema("event_type string, value double").json(
+            str(in_dir)
+        )
+        out = running_counts(stream, key_col="event_type", value_col="value")
+        return (
+            out.writeStream.foreachBatch(
+                lambda bdf, bid: emitted.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # new file arrives while no query is running; a FRESH query resumes
+    # from the checkpoint and must continue the totals
+    (in_dir / "b2.json").write_text(json.dumps({"event_type": "click", "value": 10.0}))
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    latest = {r.key: r for r in emitted}
+    r = latest["click"]
+    assert r.total_rows == 3 and r.total_value == 13.0
+    assert r.batches == 2  # one pre-restart batch + one post-restart
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Append-mode windowed aggregation with a 10-minute watermark: an
     event arriving after the watermark passed its window must be dropped
