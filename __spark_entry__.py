@@ -310,6 +310,36 @@ FROM (
 """
 
 
+def q_cel_filter_struct_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exists() over an array of OBJECTS (cel-go struct-element macro
+    bodies): each event becomes {"items": [{t, v}, {t: "x", v: 2k}]}
+    and the rule matches when the "x" item's value exceeds 150 —
+    equivalently k > 75, which the hand-written oracle checks directly."""
+    from collector_spark.operators.cel import CelFilter
+
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").try_cast("double")
+    items = F.array(
+        F.struct(F.col("event_type").alias("t"), k.alias("v")),
+        F.struct(F.lit("x").alias("t"), (k * 2).alias("v")),
+    )
+    lines = ev.select(
+        "event_id", F.to_json(F.struct(items.alias("items"))).alias("value")
+    )
+    filt = CelFilter(
+        rules=['event.items.exists(i, i.t == "x" && i.v > 150)'],
+        action="accept",
+        mode="json",
+    )
+    return filt.apply(lines).select("event_id")
+
+
+_SQL_CEL_STRUCT_MACRO = """
+SELECT event_id FROM events
+WHERE COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) * 2 > 150, FALSE)
+"""
+
+
 def q_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiline log merge (stack-trace folding): deterministic log
     lines constructed from events (per-event_type streams, start lines
@@ -2525,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (also never driver-verified) ---
         "cel_filter_time": q_cel_filter_time,
         "cel_filter_conv": q_cel_filter_conv,
+        "cel_filter_struct_macro": q_cel_filter_struct_macro,
         "multiline_merge": q_multiline_merge,
         "grok_access_log": q_grok_access_log,
         "returned_item_customers": q_returned_item_customers,
@@ -2592,6 +2623,7 @@ def oracle_sql() -> dict[str, str]:
         "cel_filter_reject": f"SELECT event_id FROM events WHERE NOT {_SQL_CEL_PRED}",
         "cel_filter_time": _SQL_CEL_TIME,
         "cel_filter_conv": _SQL_CEL_CONV,
+        "cel_filter_struct_macro": _SQL_CEL_STRUCT_MACRO,
         "multiline_merge": _SQL_MULTILINE,
         "grok_access_log": _sql_grok_access_log(),
         "returned_item_customers": _SQL_RETURNED_CUSTOMERS,

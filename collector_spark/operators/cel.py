@@ -492,6 +492,11 @@ class _Parser:
                     "'in <map()>' needs a numeric needle (map() elements are numeric)"
                 )
             if isinstance(rhs, ListFilter):
+                if _body_fields(rhs.body, rhs.var):
+                    raise CelSyntaxError(
+                        "'in' over a filter() with field access is not "
+                        "supported (struct elements have no needle type)"
+                    )
                 elem_num = _elem_type(rhs.body) == "double"
                 if needle_num != elem_num:
                     raise CelSyntaxError(
@@ -652,6 +657,7 @@ class _Parser:
                     node = ListMap(base, var, body)
                 else:
                     _validate_exists_body(body, var)
+                    _body_fields(body, var)  # mixing/depth config errors
                     if method == "all":
                         return ForAll(base, var, body)
                     if method == "exists_one":
@@ -731,17 +737,23 @@ def _validate_exists_body(node, var: str) -> None:
         for side in (node.left, node.right):
             if isinstance(side, Lit):
                 continue
-            if isinstance(side, Path) and side.parts == (var,):
-                continue
+            if (
+                isinstance(side, Path)
+                and side.parts[0] == var
+                and len(side.parts) <= 2
+            ):
+                continue  # bare var, or one-level field access (x.f)
             raise CelSyntaxError(
-                "exists() body must compare the bound variable to a literal"
+                "exists() body must compare the bound variable (or one of "
+                "its fields) to a literal"
             )
         return
     if (
         isinstance(node, StrFn)
         and node.fn in ("startsWith", "endsWith", "contains", "matches")
         and isinstance(node.path, Path)
-        and node.path.parts == (var,)
+        and node.path.parts[0] == var
+        and len(node.path.parts) <= 2
     ):
         return  # regex portability already validated at parse time
     raise CelSyntaxError(f"unsupported exists() body: {node!r}")
@@ -777,6 +789,57 @@ def _elem_type(body, sql: bool = False) -> str:
         if isinstance(lit, (int, float)) and not isinstance(lit, bool):
             return "DOUBLE" if sql else "double"
     return "VARCHAR" if sql else "string"
+
+
+def _body_fields(body, var: str) -> dict[str, str] | None:
+    """Fields the lambda body reads off the bound variable (cel-go
+    ``event.groups.exists(g, g.name == "x")`` — arrays of OBJECTS).
+    Returns ``{field: "double"|"string"}`` in struct mode, ``None`` when
+    the body uses the bare variable (scalar elements). Mixing bare and
+    field access, or nesting deeper than one level, is a config-time
+    error — cel-go types it dynamically; all three backends here need
+    one element shape."""
+    fields: dict[str, str] = {}
+    bare: list[Path] = []
+
+    def note(path: Path, typ: str) -> None:
+        if len(path.parts) == 1:
+            bare.append(path)
+        elif len(path.parts) == 2:
+            f = path.parts[1]
+            prev = fields.get(f)
+            fields[f] = "double" if "double" in (prev, typ) else typ
+        else:
+            raise CelSyntaxError(
+                "only one-level field access on the bound variable"
+            )
+
+    def walk(n) -> None:
+        if isinstance(n, Cmp):
+            lits = [s.value for s in (n.left, n.right) if isinstance(s, Lit)]
+            num = any(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in lits
+            )
+            for s in (n.left, n.right):
+                if isinstance(s, Path) and s.parts[0] == var:
+                    note(s, "double" if num else "string")
+        elif isinstance(n, (And, Or)):
+            walk(n.left)
+            walk(n.right)
+        elif (
+            isinstance(n, StrFn)
+            and isinstance(n.path, Path)
+            and n.path.parts[0] == var
+        ):
+            note(n.path, "string")
+
+    walk(body)
+    if fields and bare:
+        raise CelSyntaxError(
+            "exists() body mixes bare-variable and field access"
+        )
+    return fields or None
 
 
 def _reject_bare_list_exprs(node) -> None:
@@ -1077,10 +1140,24 @@ class ColumnCompiler:
             return F.from_json(self._raw_path(path), f"array<{elem_type}>")
         return self._raw_path(path)
 
+    def _macro_arr(self, path: Path, body, var: str) -> Column:
+        """The macro's list as a typed array: scalar elements typed from
+        body literals, or array<struct<...>> when the body reads fields
+        of the bound var (from_json ignores extra JSON object keys)."""
+        fields = _body_fields(body, var)
+        if fields:
+            schema = (
+                "struct<"
+                + ",".join(f"{f}:{t}" for f, t in sorted(fields.items()))
+                + ">"
+            )
+            return self._list_arr(path, schema)
+        return self._list_arr(path, _elem_type(body))
+
     def _list_expr(self, node) -> Column:
         """Compile a list-valued macro (filter()/map()) to an array Column."""
         if isinstance(node, ListFilter):
-            arr = self._list_arr(node.path, _elem_type(node.body))
+            arr = self._macro_arr(node.path, node.body, node.var)
             return F.filter(
                 arr, lambda x: _compile_lambda_body(node.body, node.var, x, self)
             )
@@ -1093,7 +1170,7 @@ class ColumnCompiler:
 
     def _exists(self, node: Exists) -> Column:
         # element type inferred from literals in the body
-        arr = self._list_arr(node.path, _elem_type(node.body))
+        arr = self._macro_arr(node.path, node.body, node.var)
         var = node.var
 
         def body_fn(x: Column) -> Column:
@@ -1102,7 +1179,7 @@ class ColumnCompiler:
         return F.coalesce(F.exists(arr, body_fn), F.lit(False))
 
     def _forall(self, node: ForAll) -> Column:
-        arr = self._list_arr(node.path, _elem_type(node.body))
+        arr = self._macro_arr(node.path, node.body, node.var)
         var = node.var
 
         def body_fn(x: Column) -> Column:
@@ -1128,6 +1205,12 @@ def _compile_lambda_body(node, var: str, x: Column, outer: ColumnCompiler) -> Co
         def side(n):
             if isinstance(n, Path) and n.parts == (var,):
                 return x
+            if (
+                isinstance(n, Path)
+                and n.parts[0] == var
+                and len(n.parts) == 2
+            ):
+                return x.getField(n.parts[1])  # struct element field
             if isinstance(n, Lit):
                 return F.lit(n.value)
             raise CelSyntaxError("exists() body must compare the bound variable to a literal")
@@ -1151,16 +1234,18 @@ def _compile_lambda_body(node, var: str, x: Column, outer: ColumnCompiler) -> Co
     if (
         isinstance(node, StrFn)
         and isinstance(node.path, Path)
-        and node.path.parts == (var,)
+        and node.path.parts[0] == var
+        and len(node.path.parts) <= 2
     ):
+        tgt = x if len(node.path.parts) == 1 else x.getField(node.path.parts[1])
         if node.fn == "startsWith":
-            return x.startswith(node.arg.value)
+            return tgt.startswith(node.arg.value)
         if node.fn == "endsWith":
-            return x.endswith(node.arg.value)
+            return tgt.endswith(node.arg.value)
         if node.fn == "contains":
-            return x.contains(node.arg.value)
+            return tgt.contains(node.arg.value)
         if node.fn == "matches":
-            return x.rlike(node.arg.value)
+            return tgt.rlike(node.arg.value)
     raise CelSyntaxError("unsupported exists() body")
 
 
@@ -1321,14 +1406,14 @@ class SqlCompiler:
             if node.fn == "matches":
                 return f"regexp_matches({raw}, {self._lit(node.arg.value)})"
         if isinstance(node, Exists):
-            arr = self._sql_list_arr(node.path, _elem_type(node.body, sql=True))
-            body = self._sql_lambda_body(node.body, node.var)
+            arr, fields = self._sql_macro_arr(node.path, node.body, node.var)
+            body = self._sql_lambda_body(node.body, node.var, fields)
             return (
                 f"COALESCE(len(list_filter({arr}, {node.var} -> {body})) > 0, FALSE)"
             )
         if isinstance(node, ForAll):
-            arr = self._sql_list_arr(node.path, _elem_type(node.body, sql=True))
-            body = self._sql_lambda_body(node.body, node.var)
+            arr, fields = self._sql_macro_arr(node.path, node.body, node.var)
+            body = self._sql_lambda_body(node.body, node.var, fields)
             # an element whose body is NULL counts as a violation — same
             # outcome Spark's forall gives (NULL → COALESCE FALSE)
             return (
@@ -1432,11 +1517,20 @@ class SqlCompiler:
             )
         return self._raw_path(path)
 
+    def _sql_macro_arr(self, path: Path, body, var: str) -> tuple[str, dict | None]:
+        """(array SQL, struct fields-or-None) for a macro list. Struct
+        mode keeps elements as JSON values (json mode) — field reads
+        happen per-element in the lambda body."""
+        fields = _body_fields(body, var)
+        if fields:
+            return self._sql_list_arr(path, "JSON"), fields
+        return self._sql_list_arr(path, _elem_type(body, sql=True)), None
+
     def _sql_list_expr(self, node) -> str:
         """Compile a list-valued macro (filter()/map()) to a DuckDB list."""
         if isinstance(node, ListFilter):
-            arr = self._sql_list_arr(node.path, _elem_type(node.body, sql=True))
-            body = self._sql_lambda_body(node.body, node.var)
+            arr, fields = self._sql_macro_arr(node.path, node.body, node.var)
+            body = self._sql_lambda_body(node.body, node.var, fields)
             return f"list_filter({arr}, {node.var} -> {body})"
         if isinstance(node, ListMap):
             arr = self._sql_list_arr(node.path, "DOUBLE")
@@ -1455,34 +1549,51 @@ class SqlCompiler:
             return f"({left} {node.op} {right})"
         raise CelSyntaxError(f"unsupported map() expression {node!r}")
 
-    def _sql_lambda_body(self, node, var: str) -> str:
+    def _sql_lambda_body(self, node, var: str, fields: dict | None = None) -> str:
+        def field_ref(f: str) -> str:
+            if self.mode == "json":
+                # struct-mode elements are JSON values; read the field
+                # per element with the body-implied type
+                if (fields or {}).get(f) == "double":
+                    return f"TRY_CAST(json_extract({var}, '$.{f}') AS DOUBLE)"
+                return f"json_extract_string({var}, '$.{f}')"
+            return f"{var}.{f}"
+
         if isinstance(node, Cmp):
             def side(n):
                 if isinstance(n, Path) and n.parts == (var,):
                     return var
+                if (
+                    isinstance(n, Path)
+                    and n.parts[0] == var
+                    and len(n.parts) == 2
+                ):
+                    return field_ref(n.parts[1])
                 if isinstance(n, Lit):
                     return self._lit(n.value)
                 raise CelSyntaxError("unsupported exists() body")
             op = {"==": "=", "!=": "<>"}.get(node.op, node.op)
             return f"({side(node.left)} {op} {side(node.right)})"
         if isinstance(node, Or):
-            return f"({self._sql_lambda_body(node.left, var)} OR {self._sql_lambda_body(node.right, var)})"
+            return f"({self._sql_lambda_body(node.left, var, fields)} OR {self._sql_lambda_body(node.right, var, fields)})"
         if isinstance(node, And):
-            return f"({self._sql_lambda_body(node.left, var)} AND {self._sql_lambda_body(node.right, var)})"
+            return f"({self._sql_lambda_body(node.left, var, fields)} AND {self._sql_lambda_body(node.right, var, fields)})"
         if (
             isinstance(node, StrFn)
             and isinstance(node.path, Path)
-            and node.path.parts == (var,)
+            and node.path.parts[0] == var
+            and len(node.path.parts) <= 2
         ):
+            tgt = var if len(node.path.parts) == 1 else field_ref(node.path.parts[1])
             lit = self._lit(node.arg.value)
             if node.fn == "startsWith":
-                return f"starts_with({var}, {lit})"
+                return f"starts_with({tgt}, {lit})"
             if node.fn == "endsWith":
-                return f"ends_with({var}, {lit})"
+                return f"ends_with({tgt}, {lit})"
             if node.fn == "contains":
-                return f"contains({var}, {lit})"
+                return f"contains({tgt}, {lit})"
             if node.fn == "matches":
-                return f"regexp_matches({var}, {lit})"
+                return f"regexp_matches({tgt}, {lit})"
         raise CelSyntaxError("unsupported exists() body")
 
 

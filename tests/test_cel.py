@@ -418,3 +418,74 @@ def test_conv_duckdb_backend(rule):
 def test_conv_invalid_rules_rejected(rule):
     with pytest.raises(C.CelSyntaxError):
         C.parse_rule(rule)
+
+
+# ---------------------------------------------------------------------------
+# struct-element macro bodies: exists/all/filter over arrays of OBJECTS
+# (cel-go event.groups.exists(g, g.name == "x"))
+# ---------------------------------------------------------------------------
+
+STRUCT_EVENTS = [
+    '{"groups": [{"name": "admins", "n": 3}, {"name": "dev", "n": 7}]}',
+    '{"groups": [{"name": "guests", "n": 1}]}',
+    '{"groups": []}',
+    '{"other": 1}',
+]
+
+STRUCT_TRUTH = {
+    'event.groups.exists(g, g.name == "dev")': [True, False, False, False],
+    'event.groups.exists(g, g.n > 5)': [True, False, False, False],
+    'event.groups.exists(g, g.name.startsWith("gue"))': [False, True, False, False],
+    # combined field predicates
+    'event.groups.exists(g, g.name == "admins" && g.n >= 3)': [True, False, False, False],
+    # all(): vacuous truth on [], missing list -> non-match
+    'event.groups.all(g, g.n < 10)': [True, True, True, False],
+    'event.groups.all(g, g.name != "guests")': [True, False, True, False],
+    # filter().size() over struct elements
+    'event.groups.filter(g, g.n >= 3).size() == 2': [True, False, False, False],
+    'event.groups.exists_one(g, g.name.contains("d"))': [False, False, False, False],
+}
+
+
+@pytest.mark.parametrize("rule", list(STRUCT_TRUTH))
+def test_struct_macro_python_oracle(rule):
+    ast = C.parse_rule(rule)
+    got = [C.rule_detection_python(e, [ast]) for e in STRUCT_EVENTS]
+    assert got == STRUCT_TRUTH[rule], rule
+
+
+@pytest.mark.parametrize("rule", list(STRUCT_TRUTH))
+def test_struct_macro_spark_backend(spark, rule):
+    df = spark.createDataFrame([(e,) for e in STRUCT_EVENTS], ["value"])
+    filt = C.CelFilter(rules=[rule], action="accept", mode="json")
+    kept = {r.value for r in filt.apply(df).collect()}
+    expected = {e for e, m in zip(STRUCT_EVENTS, STRUCT_TRUTH[rule]) if m}
+    assert kept == expected, rule
+
+
+@pytest.mark.parametrize("rule", list(STRUCT_TRUTH))
+def test_struct_macro_duckdb_backend(rule):
+    filt = C.CelFilter(rules=[rule], action="accept", mode="json")
+    pred = filt.sql_predicate()
+    con = duckdb.connect()
+    got = []
+    for e in STRUCT_EVENTS:
+        escaped = e.replace("'", "''")
+        val = con.execute(
+            f"select {pred.replace('value', f'''CAST('{escaped}' AS VARCHAR)''')}"
+        ).fetchone()[0]
+        got.append(bool(val))
+    assert got == STRUCT_TRUTH[rule], rule
+
+
+@pytest.mark.parametrize(
+    "rule",
+    [
+        'event.groups.exists(g, g == "x" && g.name == "y")',   # mixes bare + field
+        'event.groups.exists(g, g.a.b == "y")',                # two-level access
+        '"x" in event.groups.filter(g, g.n > 1)',              # in over struct filter
+    ],
+)
+def test_struct_macro_invalid_rules_rejected(rule):
+    with pytest.raises(C.CelSyntaxError):
+        C.parse_rule(rule)
