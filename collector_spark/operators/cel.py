@@ -1131,6 +1131,18 @@ class ColumnCompiler:
             # portable subset — no lookbehind/named-class exotica)
             return col.rlike(node.arg.value)
         if node.fn == "size":
+            if self.mode == "json":
+                # CEL size() is overloaded: element count for lists,
+                # char count for strings. A JSON-mode path is a raw
+                # string either way, so dispatch on the array shape —
+                # matching the Python oracle's len() (which counts list
+                # elements; plain length(raw) silently counted the
+                # characters of '["a","b"]'). Corner: a STRING field
+                # whose value itself starts with '[' but is invalid
+                # JSON sizes as NULL → non-match (Python counts chars).
+                return F.when(
+                    col.rlike(r"^\s*\["), F.json_array_length(col)
+                ).otherwise(F.length(col))
             return F.length(col)
         raise CelSyntaxError(node.fn)
 
@@ -1506,7 +1518,15 @@ class SqlCompiler:
         length over a plain path (mirrors ColumnCompiler._strfn)."""
         if isinstance(node.path, (ListFilter, ListMap)):
             return f"len({self._sql_list_expr(node.path)})"
-        return f"length({self._raw_path(node.path)})"
+        raw = self._raw_path(node.path)
+        if self.mode == "json":
+            # list-vs-string dispatch, mirroring ColumnCompiler._strfn
+            return (
+                f"(CASE WHEN regexp_matches({raw}, '^\\s*\\[') "
+                f"THEN json_array_length(TRY_CAST({raw} AS JSON)) "
+                f"ELSE length({raw}) END)"
+            )
+        return f"length({raw})"
 
     def _sql_list_arr(self, path: Path, elem_type: str) -> str:
         """The list field as a typed DuckDB array (json mode parses)."""
@@ -1766,6 +1786,17 @@ def eval_python(node, event: dict):
             return len(_py_list_expr(node.path, event))
         val = _py_resolve(event, node.path)
         if node.fn == "size":
+            # mirror the Column/SQL backends' list-vs-string dispatch:
+            # a '['-leading STRING value is sized as a JSON array (its
+            # content), and errors (→ non-match) when it isn't one
+            if isinstance(val, str) and val.lstrip().startswith("["):
+                try:
+                    parsed = json.loads(val)
+                except ValueError:
+                    raise CelEvalError("size() on non-JSON bracket string") from None
+                if not isinstance(parsed, list):
+                    raise CelEvalError("size() on non-list JSON")
+                return len(parsed)
             return len(val)
         if not isinstance(val, str):
             raise CelEvalError(f"{node.fn} on non-string")

@@ -489,3 +489,53 @@ def test_struct_macro_duckdb_backend(rule):
 def test_struct_macro_invalid_rules_rejected(rule):
     with pytest.raises(C.CelSyntaxError):
         C.parse_rule(rule)
+
+
+# ---------------------------------------------------------------------------
+# size() list-vs-string overload (cel-go size() counts ELEMENTS of a
+# list; length(raw) silently counted the characters of '["a","b"]')
+# ---------------------------------------------------------------------------
+
+SIZE_EVENTS = [
+    '{"tags": ["a", "b", "c"], "name": "abc"}',
+    '{"tags": [], "name": ""}',
+    '{"name": "[x]"}',  # '['-leading STRING, invalid JSON → non-match
+]
+
+SIZE_TRUTH = {
+    "event.tags.size() == 3": [True, False, False],
+    "event.tags.size() == 0": [False, True, False],
+    "event.name.size() == 3": [True, False, False],
+    "event.tags.size() > event.name.size()": [False, False, False],
+}
+
+
+@pytest.mark.parametrize("rule", list(SIZE_TRUTH))
+def test_size_overload_python_oracle(rule):
+    ast = C.parse_rule(rule)
+    got = [C.rule_detection_python(e, [ast]) for e in SIZE_EVENTS]
+    assert got == SIZE_TRUTH[rule], rule
+
+
+@pytest.mark.parametrize("rule", list(SIZE_TRUTH))
+def test_size_overload_spark_backend(spark, rule):
+    df = spark.createDataFrame([(e,) for e in SIZE_EVENTS], ["value"])
+    filt = C.CelFilter(rules=[rule], action="accept", mode="json")
+    kept = {r.value for r in filt.apply(df).collect()}
+    expected = {e for e, m in zip(SIZE_EVENTS, SIZE_TRUTH[rule]) if m}
+    assert kept == expected, rule
+
+
+@pytest.mark.parametrize("rule", list(SIZE_TRUTH))
+def test_size_overload_duckdb_backend(rule):
+    filt = C.CelFilter(rules=[rule], action="accept", mode="json")
+    pred = filt.sql_predicate()
+    con = duckdb.connect()
+    got = []
+    for e in SIZE_EVENTS:
+        escaped = e.replace("'", "''")
+        val = con.execute(
+            f"select {pred.replace('value', f'''CAST('{escaped}' AS VARCHAR)''')}"
+        ).fetchone()[0]
+        got.append(bool(val))
+    assert got == SIZE_TRUTH[rule], rule
