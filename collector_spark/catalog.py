@@ -96,6 +96,63 @@ class Catalog:
             return self.spark.table(name)
         return self.spark.table(self._session_name(name))
 
+    def compact(
+        self, name: str, target_file_mb: int = 256, partition_col: str | None = None
+    ) -> dict:
+        """Small-files compaction — the operational follow-up every
+        streaming/batch append sink needs at scale (each micro-batch
+        leaves files; a 100 TB table accumulates millions, and scan
+        planning degrades with file COUNT, not bytes). Rewrites the
+        table into ~``target_file_mb`` files; with ``partition_col``
+        the rewrite repartitions BY that column so compaction also
+        restores partition clustering. With an Iceberg catalog this is
+        rewrite_data_files; the parquet fallback is
+        read → repartition → atomic-swap overwrite.
+
+        Returns {"files_before", "files_after", "rows"}.
+        """
+        import glob
+
+        if _iceberg_available(self.spark, name):
+            cat = name.split(".")[0]
+            self.spark.sql(
+                f"CALL {cat}.system.rewrite_data_files(table => '{name[len(cat) + 1:]}', "
+                f"options => map('target-file-size-bytes', '{target_file_mb * 1024 * 1024}'))"
+            )
+            return {"files_before": -1, "files_after": -1, "rows": -1}
+        path = self._path(name)
+
+        def n_files() -> int:
+            return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+        before = n_files()
+        df = self.spark.read.parquet(path)
+        rows = df.count()
+        total_bytes = sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        n_out = max(1, total_bytes // (target_file_mb * 1024 * 1024))
+        out = (
+            df.repartition(int(n_out), partition_col)
+            if partition_col
+            else df.repartition(int(n_out))
+        )
+        # write-to-temp + swap: a crash mid-compaction must never lose
+        # the table (same publish discipline as the GCS composite sink)
+        tmp = path + ".compact_tmp"
+        writer = out.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(tmp)
+        backup = path + ".compact_old"
+        os.rename(path, backup)
+        os.rename(tmp, path)
+        import shutil
+
+        shutil.rmtree(backup)
+        return {"files_before": before, "files_after": n_files(), "rows": rows}
+
     @staticmethod
     def _session_name(name: str) -> str:
         # session-catalog identifier for a dotted logical name; '__'

@@ -33,3 +33,43 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders")
         spark.sql("DROP TABLE IF EXISTS t_items")
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Compaction rewrites a many-small-files table into few files with
+    identical rows, via write-to-temp + swap (crash never loses the
+    table)."""
+    from collector_spark.catalog import Catalog
+
+    cat = Catalog(spark, root=str(tmp_path))
+    df = spark.range(0, 1000).withColumn("part", (F.col("id") % 3).cast("int"))
+    # 40 appends → many small files
+    for i in range(10):
+        cat.append(df.filter(F.col("id") % 10 == i).repartition(4), "db.t")
+    import glob, os
+
+    path = os.path.join(str(tmp_path), "db", "t")
+    before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    assert before >= 20
+
+    stats = cat.compact("db.t", target_file_mb=256)
+    assert stats["rows"] == 1000
+    assert stats["files_before"] == before
+    assert stats["files_after"] < before
+    out = cat.read_table("db.t")
+    assert out.count() == 1000
+    assert out.agg(F.sum("id")).first()[0] == 999 * 1000 // 2
+
+
+def test_compact_with_partition_clustering(spark, tmp_path):
+    from collector_spark.catalog import Catalog
+
+    cat = Catalog(spark, root=str(tmp_path))
+    df = spark.range(0, 300).withColumn("part", (F.col("id") % 3).cast("int"))
+    for i in range(5):
+        cat.append(df.filter(F.col("id") % 5 == i), "db.p")
+    stats = cat.compact("db.p", target_file_mb=256, partition_col="part")
+    assert stats["rows"] == 300
+    out = cat.read_table("db.p")
+    assert out.count() == 300
+    assert set(r.part for r in out.select("part").distinct().collect()) == {0, 1, 2}
