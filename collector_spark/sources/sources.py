@@ -200,14 +200,25 @@ class IncrementalSource:
     read rows with ts in (last_cursor, now], advance cursor only after the
     batch commits (the Pipeline/manifest handles commit ordering)."""
 
-    def __init__(self, table_path: str, ts_col: str = "warc_ts"):
+    def __init__(
+        self, table_path: str, ts_col: str = "warc_ts", merge_schema: bool = True
+    ):
         self.table_path = table_path
         self.ts_col = ts_col
+        # log tables EVOLVE: a field added upstream appears only in newer
+        # files, and a plain parquet read takes its schema from one
+        # sample file — the new column would be silently dropped (or
+        # appear at random depending which file wins). mergeSchema reads
+        # every footer; on a real lake an Iceberg catalog tracks the
+        # schema and this flag is moot (Catalog.read_table path).
+        self.merge_schema = merge_schema
 
     def read_new(
         self, spark: SparkSession, state: dict | None
     ) -> tuple[DataFrame, dict]:
-        df = spark.read.parquet(self.table_path)
+        df = spark.read.option(
+            "mergeSchema", "true" if self.merge_schema else "false"
+        ).parquet(self.table_path)
         cursor = (state or {}).get("last_ts")
         if cursor is not None:
             df = df.filter(F.col(self.ts_col) > F.lit(cursor).cast("timestamp"))

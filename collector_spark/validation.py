@@ -117,7 +117,11 @@ SOURCE_SCHEMAS: dict[str, dict[str, Spec]] = {
         "max_driver_bytes": spec(int, min_value=1),
         "spill_dir": spec(str),
     },
-    "incremental": {"table_path": spec(str, required=True), "ts_col": spec(str)},
+    "incremental": {
+        "table_path": spec(str, required=True),
+        "ts_col": spec(str),
+        "merge_schema": spec(bool),
+    },
     # internal/input/kafka/kafka.go:24-37
     "kafka": {
         **_KAFKA_COMMON,

@@ -552,3 +552,31 @@ def test_sink_time_template_pinned_per_batch(tmp_path):
     sink._resolved[7] = sink._resolved[7]  # cache populated
     assert sink.target(7) == first
     assert sink.target(8).split("batch_id=")[0] is not None  # new id re-resolves
+
+
+def test_incremental_source_schema_evolution(spark, tmp_path):
+    """A field added upstream appears only in NEWER files; the
+    incremental read must surface it (older rows NULL) instead of
+    silently dropping it to whichever file's schema sampled first."""
+    import datetime
+
+    p = str(tmp_path / "t")
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 1, 2)
+    spark.createDataFrame([(1, t0)], "id long, ts timestamp").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(2, t1, "new-field")], "id long, ts timestamp, extra string"
+    ).write.mode("append").parquet(p)
+
+    src = IncrementalSource(p, ts_col="ts")
+    df, state = src.read_new(spark, None)
+    assert "extra" in df.columns
+    rows = {r.id: r.extra for r in df.collect()}
+    assert rows == {1: None, 2: "new-field"}
+    assert state["last_ts"].startswith("2024-01-02")
+
+    # cursor advance still works across the evolved schema
+    df2, _ = src.read_new(spark, state)
+    assert df2.count() == 0
