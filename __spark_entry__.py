@@ -340,6 +340,31 @@ WHERE COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) * 2 > 150, 
 """
 
 
+def q_pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed consistent pseudonymization of user ids: per-pseudonym
+    event counts must behave exactly like per-user counts (cardinality
+    and group sizes preserved) while the ids are unlinkable without the
+    secret — redaction would destroy this analysis."""
+    from collector_spark.operators.textstats import pseudonymize_col
+
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(pseudonymize_col(F.col("user_id"), "gate-secret").alias("pseudo"))
+        .groupBy("pseudo")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _sql_pseudonymize() -> str:
+    from collector_spark.operators.textstats import pseudonymize_sql
+
+    p = pseudonymize_sql("user_id", "gate-secret")
+    return f"""
+SELECT {p} AS pseudo, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def q_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiline log merge (stack-trace folding): deterministic log
     lines constructed from events (per-event_type streams, start lines
@@ -2556,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cel_filter_time": q_cel_filter_time,
         "cel_filter_conv": q_cel_filter_conv,
         "cel_filter_struct_macro": q_cel_filter_struct_macro,
+        "pseudonymize_users": q_pseudonymize_users,
         "multiline_merge": q_multiline_merge,
         "grok_access_log": q_grok_access_log,
         "returned_item_customers": q_returned_item_customers,
@@ -2624,6 +2650,7 @@ def oracle_sql() -> dict[str, str]:
         "cel_filter_time": _SQL_CEL_TIME,
         "cel_filter_conv": _SQL_CEL_CONV,
         "cel_filter_struct_macro": _SQL_CEL_STRUCT_MACRO,
+        "pseudonymize_users": _sql_pseudonymize(),
         "multiline_merge": _SQL_MULTILINE,
         "grok_access_log": _sql_grok_access_log(),
         "returned_item_customers": _SQL_RETURNED_CUSTOMERS,

@@ -180,6 +180,30 @@ def redact_sql(col: str) -> str:
     return expr
 
 
+def pseudonymize_col(value: Column, secret: str, length: int = 16) -> Column:
+    """Keyed consistent pseudonym: the same (secret, value) always maps
+    to the same ``length``-hex token, values are unlinkable without the
+    secret, and joins/group-bys on the pseudonym behave exactly like
+    the original key (cardinality preserved modulo hash collisions —
+    at 16 hex chars, ~n²/2⁶⁵). Redaction destroys analysis; this keeps
+    it (user-level dedup, per-user aggregates, session stitching over
+    anonymized logs). md5(secret ‖ ':' ‖ value) so the DuckDB oracle
+    replays byte-identically; rotate the secret to unlink epochs. NULL
+    stays NULL (no phantom pseudonym shared by all null keys)."""
+    return F.when(
+        value.isNotNull(),
+        F.substring(F.md5(F.concat(F.lit(secret + ":"), value.cast("string"))), 1, length),
+    )
+
+
+def pseudonymize_sql(col: str, secret: str, length: int = 16) -> str:
+    esc = secret.replace("'", "''")
+    return (
+        f"CASE WHEN {col} IS NOT NULL THEN "
+        f"substr(md5('{esc}:' || CAST({col} AS VARCHAR)), 1, {length}) END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition signal (distinct-token ratio, Gopher-style corpus filtering)
 # ---------------------------------------------------------------------------

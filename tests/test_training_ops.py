@@ -567,3 +567,30 @@ def test_minhash_and_simhash_exclude_empty_docs_from_banding(spark):
     assert {(r.id_a, r.id_b) for r in mh} == {(100, 101)}
     sh = simhash_near_pairs(df, max_hamming=0).select("id_a", "id_b").collect()
     assert {(r.id_a, r.id_b) for r in sh} == {(100, 101)}
+
+
+def test_pseudonymize_consistent_keyed_and_null_safe(spark):
+    from collector_spark.operators.textstats import pseudonymize_col
+
+    df = spark.createDataFrame(
+        [(1, 42), (2, 42), (3, 7), (4, None)], "row long, uid long"
+    )
+    out = {r.row: r.p for r in df.select(
+        "row", pseudonymize_col(F.col("uid"), "s1").alias("p")
+    ).collect()}
+    assert out[1] == out[2] and len(out[1]) == 16        # consistent
+    assert out[1] != out[3]                              # distinct keys distinct
+    assert out[4] is None                                # NULL stays NULL
+    other = {r.row: r.p for r in df.select(
+        "row", pseudonymize_col(F.col("uid"), "s2").alias("p")
+    ).collect()}
+    assert other[1] != out[1]                            # secret rotates epoch
+
+    # oracle twin agrees byte-for-byte
+    import duckdb
+    from collector_spark.operators.textstats import pseudonymize_sql
+
+    got = duckdb.sql(
+        f"SELECT {pseudonymize_sql('42', 's1')}"
+    ).fetchone()[0]
+    assert got == out[1]
