@@ -340,6 +340,37 @@ WHERE COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) * 2 > 150, 
 """
 
 
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-record parse: events rendered as CSV lines and parsed
+    back through the native from_csv processor path (typed columns,
+    malformed lines dropped)."""
+    from collector_spark.operators.csv_parse import csv_extract
+
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.col("event_type"),
+            F.col("value").cast("string"),
+        ).alias("value")
+    )
+    out = csv_extract(lines, "event_id bigint, event_type string, v double")
+    return out.select("event_id", "event_type", F.round("v", 6).alias("v"))
+
+
+_SQL_CSV_ROUNDTRIP = """
+WITH lines AS (
+  SELECT CAST(event_id AS VARCHAR) || ',' || event_type || ',' ||
+         CAST(value AS VARCHAR) AS line
+  FROM events)
+SELECT CAST(split_part(line, ',', 1) AS BIGINT) AS event_id,
+       split_part(line, ',', 2) AS event_type,
+       ROUND(CAST(split_part(line, ',', 3) AS DOUBLE), 6) AS v
+FROM lines
+"""
+
+
 def q_pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed consistent pseudonymization of user ids: per-pseudonym
     event counts must behave exactly like per-user counts (cardinality
@@ -2582,6 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cel_filter_conv": q_cel_filter_conv,
         "cel_filter_struct_macro": q_cel_filter_struct_macro,
         "pseudonymize_users": q_pseudonymize_users,
+        "csv_roundtrip": q_csv_roundtrip,
         "multiline_merge": q_multiline_merge,
         "grok_access_log": q_grok_access_log,
         "returned_item_customers": q_returned_item_customers,
@@ -2651,6 +2683,7 @@ def oracle_sql() -> dict[str, str]:
         "cel_filter_conv": _SQL_CEL_CONV,
         "cel_filter_struct_macro": _SQL_CEL_STRUCT_MACRO,
         "pseudonymize_users": _sql_pseudonymize(),
+        "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "multiline_merge": _SQL_MULTILINE,
         "grok_access_log": _sql_grok_access_log(),
         "returned_item_customers": _SQL_RETURNED_CUSTOMERS,

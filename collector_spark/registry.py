@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Callable
 
 from collector_spark.operators.cel import CelFilter
+from collector_spark.operators.csv_parse import CsvParser
 from collector_spark.operators.grok import GrokParser
 from collector_spark.operators.json_mutate import JsonMutator
 from collector_spark.operators.kv import KvParser
@@ -25,6 +26,7 @@ PROCESSOR_REGISTRY: dict[str, Callable] = {
     "syslog": SyslogParser,
     "kv": KvParser,
     "grok": GrokParser,
+    "csv": CsvParser,
 }
 
 

@@ -100,6 +100,12 @@ PROCESSOR_SCHEMAS: dict[str, dict[str, Spec]] = {
         "value_col": spec(str),
         "extra_patterns": spec(dict),
     },
+    # delimited-record parser (operators/csv_parse.py, §2.7 gap list)
+    "csv": {
+        "schema": spec(str, required=True),
+        "sep": spec(str),
+        "value_col": spec(str),
+    },
 }
 
 _KAFKA_COMMON = {

@@ -1,0 +1,52 @@
+"""CSV/TSV delimited-record parser: typed extraction, quoting,
+malformed-line drop, and the pipeline processor line model."""
+
+import json
+
+import pytest
+
+from collector_spark.operators.csv_parse import CsvParser, csv_extract
+
+
+def test_csv_extract_typed_and_drop_malformed(spark):
+    rows = [
+        ("1,click,2.5",),
+        ('2,"has, comma",0.5',),   # quoted field with the separator
+        ("not-a-number,x,y",),     # event_id fails the bigint -> dropped
+        ("3,view",),               # short row -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["value"])
+    out = csv_extract(df, "event_id bigint, kind string, v double")
+    got = {r.event_id: (r.kind, r.v) for r in out.collect()}
+    assert got == {1: ("click", 2.5), 2: ("has, comma", 0.5)}
+
+
+def test_csv_extract_keep_malformed_nulls(spark):
+    df = spark.createDataFrame([("1,a,2.0",), ("zz",)], ["value"])
+    out = csv_extract(
+        df, "event_id bigint, kind string, v double", drop_malformed=False
+    ).collect()
+    assert len(out) == 2
+    assert sum(1 for r in out if r.event_id is None) == 1
+
+
+def test_csv_tsv_separator(spark):
+    df = spark.createDataFrame([("7\tx",)], ["value"])
+    out = csv_extract(df, "a bigint, b string", sep="\t").collect()
+    assert out[0].a == 7 and out[0].b == "x"
+
+
+def test_csv_processor_json_line_model(spark):
+    from collector_spark.registry import make_processor
+
+    proc = make_processor("csv", schema="n bigint, s string")
+    df = spark.createDataFrame([("5,hello",), ("bad",)], ["value"])
+    rows = [json.loads(r.value) for r in proc.apply(df).collect()]
+    assert rows == [{"n": 5, "s": "hello"}]
+
+
+def test_csv_processor_config_validation():
+    from collector_spark.registry import make_processor
+
+    with pytest.raises(Exception):
+        make_processor("csv")  # schema required
