@@ -18,6 +18,15 @@ from pyspark.sql import functions as F
 __all__ = ["csv_extract", "CsvParser"]
 
 
+def _check_flat_schema(schema: str) -> None:
+    # CSV records are flat; a nested type ("a array<int>") would also
+    # break the comma-split field listing — reject it loudly
+    if "<" in schema or ">" in schema:
+        raise ValueError(
+            f"csv schema must use flat atomic types, got {schema!r}"
+        )
+
+
 def _parsed(value: Column, schema: str, sep: str) -> Column:
     # PERMISSIVE + corrupt column is the standard Spark malformed-line
     # pattern: a line that does not fit the schema lands in _corrupt
@@ -38,6 +47,7 @@ def csv_extract(
 ) -> DataFrame:
     """Append one typed column per schema field. ``drop_malformed``
     filters lines the schema rejects; ``False`` keeps them with NULLs."""
+    _check_flat_schema(schema)
     parsed = _parsed(F.col(value_col), schema, sep)
     out = df.withColumn("_p", parsed)
     if drop_malformed:
@@ -54,6 +64,7 @@ class CsvParser:
     model), malformed lines dropped."""
 
     def __init__(self, schema: str, sep: str = ",", value_col: str = "value"):
+        _check_flat_schema(schema)
         self.schema = schema
         self.sep = sep
         self.value_col = value_col

@@ -50,3 +50,5 @@ def test_csv_processor_config_validation():
 
     with pytest.raises(Exception):
         make_processor("csv")  # schema required
+    with pytest.raises(ValueError):
+        make_processor("csv", schema="a array<int>, b string")  # flat only
