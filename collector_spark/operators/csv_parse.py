@@ -83,3 +83,14 @@ class CsvParser:
                 ).alias(self.value_col),
             )
         )
+
+    def rejects(self, df: DataFrame) -> DataFrame:
+        """Dead-letter complement of apply(): malformed lines with a
+        reason column (see GrokParser.rejects)."""
+        parsed = _parsed(F.col(self.value_col), self.schema, self.sep)
+        return (
+            df.withColumn("_p", parsed)
+            .filter(F.col("_p._corrupt").isNotNull())
+            .drop("_p")
+            .withColumn("reject_reason", F.lit("csv_malformed"))
+        )

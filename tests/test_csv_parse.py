@@ -52,3 +52,17 @@ def test_csv_processor_config_validation():
         make_processor("csv")  # schema required
     with pytest.raises(ValueError):
         make_processor("csv", schema="a array<int>, b string")  # flat only
+
+
+def test_csv_rejects_dead_letter(spark):
+    from collector_spark.operators.csv_parse import CsvParser
+
+    df = spark.createDataFrame(
+        [("1,a,2.0",), ("zz",), ("x,y,z",)], ["value"]
+    )
+    proc = CsvParser("event_id bigint, kind string, v double")
+    kept = proc.apply(df).count()
+    rej = proc.rejects(df)
+    assert kept == 1 and rej.count() == 2
+    assert {r.reject_reason for r in rej.collect()} == {"csv_malformed"}
+    assert {r.value for r in rej.collect()} == {"zz", "x,y,z"}

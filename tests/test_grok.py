@@ -113,3 +113,18 @@ def test_grok_processor_config_validation():
         make_processor("grok")  # pattern required
     with pytest.raises(G.GrokError):
         make_processor("grok", pattern="%{NOSUCH:x}")  # config-time reject
+
+
+def test_grok_rejects_dead_letter(spark, tmp_path):
+    """apply() + rejects() partition the input exactly — nothing is
+    silently lost; the DLQ rows carry the reason and route to a sink."""
+    from collector_spark.sinks.sinks import FileSink
+
+    df = spark.createDataFrame([(l,) for l in LINES], ["value"])
+    proc = G.GrokParser(ACCESS)
+    kept = proc.apply(df).count()
+    rej = proc.rejects(df)
+    assert kept + rej.count() == len(LINES)
+    assert {r.reject_reason for r in rej.collect()} == {"grok_no_match"}
+    sink = FileSink(path=str(tmp_path / "dlq"))
+    assert sink.write(rej.select("value"), batch_id=0) == rej.count()
