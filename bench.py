@@ -93,6 +93,17 @@ BENCH_QUERIES = [
     "token_budget_select",
     "corpus_shuffle_order",
     "order_count_histogram",
+    # round-4 additions
+    "grok_access_log",
+    "csv_roundtrip",
+    "multiline_merge",
+    "pseudonymize_users",
+    "encode_tokens",
+    "cel_filter_conv",
+    "cel_filter_struct_macro",
+    "returned_item_customers",
+    "large_volume_customers",
+    "rolling_7day_revenue",
 ]
 
 
