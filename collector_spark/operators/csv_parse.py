@@ -25,6 +25,8 @@ def _check_flat_schema(schema: str) -> None:
         raise ValueError(
             f"csv schema must use flat atomic types, got {schema!r}"
         )
+    if "_corrupt" in [f.strip().split(" ")[0] for f in schema.split(",")]:
+        raise ValueError("'_corrupt' is a reserved csv field name")
 
 
 def _parsed(value: Column, schema: str, sep: str) -> Column:
