@@ -29,14 +29,23 @@ def _check_flat_schema(schema: str) -> None:
         raise ValueError("'_corrupt' is a reserved csv field name")
 
 
-def _parsed(value: Column, schema: str, sep: str) -> Column:
+def _parsed(value: Column, schema: str, sep: str, quote: str, escape: str) -> Column:
     # PERMISSIVE + corrupt column is the standard Spark malformed-line
-    # pattern: a line that does not fit the schema lands in _corrupt
+    # pattern: a line that does not fit the schema lands in _corrupt.
+    # escape defaults to the quote char: RFC-4180 doubled-quote style
+    # (csv.writer / Excel / Postgres COPY / DuckDB) — Spark's own
+    # default escape is backslash, which mis-reads standard CSV.
     full_schema = schema + ", _corrupt string"
     return F.from_csv(
         value,
         F.lit(full_schema),
-        {"sep": sep, "mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        {
+            "sep": sep,
+            "quote": quote,
+            "escape": escape,
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": "_corrupt",
+        },
     )
 
 
@@ -46,11 +55,13 @@ def csv_extract(
     sep: str = ",",
     value_col: str = "value",
     drop_malformed: bool = True,
+    quote: str = '"',
+    escape: str = '"',
 ) -> DataFrame:
     """Append one typed column per schema field. ``drop_malformed``
     filters lines the schema rejects; ``False`` keeps them with NULLs."""
     _check_flat_schema(schema)
-    parsed = _parsed(F.col(value_col), schema, sep)
+    parsed = _parsed(F.col(value_col), schema, sep, quote, escape)
     out = df.withColumn("_p", parsed)
     if drop_malformed:
         out = out.filter(F.col("_p._corrupt").isNull())
@@ -65,15 +76,26 @@ class CsvParser:
     — delimited lines in, JSON objects out (the kv/syslog/grok line
     model), malformed lines dropped."""
 
-    def __init__(self, schema: str, sep: str = ",", value_col: str = "value"):
+    def __init__(
+        self,
+        schema: str,
+        sep: str = ",",
+        value_col: str = "value",
+        quote: str = '"',
+        escape: str = '"',
+    ):
         _check_flat_schema(schema)
         self.schema = schema
         self.sep = sep
+        self.quote = quote
+        self.escape = escape
         self.value_col = value_col
         self.fields = [f.strip().split(" ")[0] for f in schema.split(",")]
 
     def apply(self, df: DataFrame) -> DataFrame:
-        parsed = _parsed(F.col(self.value_col), self.schema, self.sep)
+        parsed = _parsed(
+            F.col(self.value_col), self.schema, self.sep, self.quote, self.escape
+        )
         keep = [c for c in df.columns if c != self.value_col]
         return (
             df.withColumn("_p", parsed)
@@ -89,7 +111,9 @@ class CsvParser:
     def rejects(self, df: DataFrame) -> DataFrame:
         """Dead-letter complement of apply(): malformed lines with a
         reason column (see GrokParser.rejects)."""
-        parsed = _parsed(F.col(self.value_col), self.schema, self.sep)
+        parsed = _parsed(
+            F.col(self.value_col), self.schema, self.sep, self.quote, self.escape
+        )
         return (
             df.withColumn("_p", parsed)
             .filter(F.col("_p._corrupt").isNotNull())

@@ -105,6 +105,8 @@ PROCESSOR_SCHEMAS: dict[str, dict[str, Spec]] = {
         "schema": spec(str, required=True),
         "sep": spec(str),
         "value_col": spec(str),
+        "quote": spec(str),
+        "escape": spec(str),
     },
 }
 

@@ -66,3 +66,38 @@ def test_csv_rejects_dead_letter(spark):
     assert kept == 1 and rej.count() == 2
     assert {r.reject_reason for r in rej.collect()} == {"csv_malformed"}
     assert {r.value for r in rej.collect()} == {"zz", "x,y,z"}
+
+
+def test_csv_quoting_roundtrip_random(spark):
+    """Rows rendered by Python's csv.writer (RFC-4180 quoting: embedded
+    commas, double quotes, leading/trailing spaces) must parse back
+    exactly through from_csv — one batched Spark job over 120 seeded
+    random rows. Newlines are excluded: the pipeline's record model is
+    one line per record (multiLine CSV is out of scope, like the
+    reference's line reader)."""
+    import csv as _csv
+    import io
+    import random
+
+    rng = random.Random(42)
+    alphabet = 'abc",\'; :x '
+    rows = []
+    for i in range(120):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        rows.append((i, s, rng.randint(-1000, 1000)))
+    buf = io.StringIO()
+    w = _csv.writer(buf, lineterminator="\n")
+    for r in rows:
+        w.writerow(r)
+    lines = [(l,) for l in buf.getvalue().splitlines()]
+
+    df = spark.createDataFrame(lines, ["value"])
+    out = csv_extract(df, "i bigint, s string, n bigint")
+    got = {r.i: (r.s, r.n) for r in out.collect()}
+    # from_csv parses empty unquoted fields as NULL; csv.writer leaves
+    # empty strings unquoted → map None back to "" for comparison
+    assert len(got) == len(rows)
+    for i, s, n in rows:
+        gs, gn = got[i]
+        assert (gs or "") == s, (i, s, gs)
+        assert gn == n
