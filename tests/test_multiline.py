@@ -43,6 +43,7 @@ def test_merge_multiline_one_shuffle(spark):
     from collector_spark.plans.inspect import executed_plan
 
     plan = executed_plan(merge_multiline(_lines(spark), r"^ERROR"))
-    # exactly one shuffle of the data (AQE may append a read stage;
-    # count the Exchange operators)
-    assert plan.count("Exchange") <= 2, plan
+    # exactly ONE Exchange: the (stream, record) groupBy piggybacks on
+    # the window's hash(stream) partitioning (hash(stream) satisfies
+    # ClusteredDistribution(stream, rec)) — verified, not assumed
+    assert plan.count("Exchange") == 1, plan
