@@ -340,6 +340,35 @@ WHERE COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) * 2 > 150, 
 """
 
 
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of events (exact counts, one
+    aggregation pass, unpivoted without a per-column re-scan)."""
+    from collector_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        _events(spark, sf_dir), ["event_id", "user_id", "event_type", "value"]
+    )
+
+
+_SQL_PROFILE = """
+SELECT 'event_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events
+UNION ALL
+SELECT 'value', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT value) AS BIGINT) FROM events
+"""
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delimited-record parse: events rendered as CSV lines and parsed
     back through the native from_csv processor path (typed columns,
@@ -2614,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cel_filter_struct_macro": q_cel_filter_struct_macro,
         "pseudonymize_users": q_pseudonymize_users,
         "csv_roundtrip": q_csv_roundtrip,
+        "profile_columns": q_profile_columns,
         "multiline_merge": q_multiline_merge,
         "grok_access_log": q_grok_access_log,
         "returned_item_customers": q_returned_item_customers,
@@ -2684,6 +2714,7 @@ def oracle_sql() -> dict[str, str]:
         "cel_filter_struct_macro": _SQL_CEL_STRUCT_MACRO,
         "pseudonymize_users": _sql_pseudonymize(),
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
+        "profile_columns": _SQL_PROFILE,
         "multiline_merge": _SQL_MULTILINE,
         "grok_access_log": _sql_grok_access_log(),
         "returned_item_customers": _SQL_RETURNED_CUSTOMERS,

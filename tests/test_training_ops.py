@@ -594,3 +594,18 @@ def test_pseudonymize_consistent_keyed_and_null_safe(spark):
         f"SELECT {pseudonymize_sql('42', 's1')}"
     ).fetchone()[0]
     assert got == out[1]
+
+
+def test_profile_columns_exact_counts_one_pass(spark):
+    from collector_spark.operators.profile import profile_columns
+    from collector_spark.plans.inspect import executed_plan
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (3, "b")], "id long, s string"
+    )
+    out = {r.column: (r.n_rows, r.n_null, r.n_distinct)
+           for r in profile_columns(df).collect()}
+    assert out == {"id": (4, 0, 3), "s": (4, 1, 2)}
+    # one scan: a single relation read in the plan (no per-column union)
+    plan = executed_plan(profile_columns(df))
+    assert plan.count("Scan ExistingRDD") <= 1 or plan.count("LocalTableScan") <= 1
