@@ -340,6 +340,35 @@ WHERE COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) * 2 > 150, 
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel over events: signup → click (after it) →
+    purchase (after that). Cross-row ORDER matching — inexpressible in
+    the reference's per-line model; one pruned-scan groupBy per step."""
+    from collector_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _events(spark, sf_dir), ["signup", "click", "purchase"]
+    )
+
+
+_SQL_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id AS u, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+s1 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t1
+  FROM events e JOIN s0 ON e.user_id = s0.u
+  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
+s2 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1)
+SELECT 0 AS step_idx, 'signup' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+UNION ALL SELECT 1, 'click', CAST(COUNT(*) AS BIGINT) FROM s1
+UNION ALL SELECT 2, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s2
+"""
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data-quality profile of events (exact counts, one
     aggregation pass, unpivoted without a per-column re-scan)."""
@@ -2644,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymize_users": q_pseudonymize_users,
         "csv_roundtrip": q_csv_roundtrip,
         "profile_columns": q_profile_columns,
+        "funnel_conversion": q_funnel_conversion,
         "multiline_merge": q_multiline_merge,
         "grok_access_log": q_grok_access_log,
         "returned_item_customers": q_returned_item_customers,
@@ -2715,6 +2745,7 @@ def oracle_sql() -> dict[str, str]:
         "pseudonymize_users": _sql_pseudonymize(),
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "profile_columns": _SQL_PROFILE,
+        "funnel_conversion": _SQL_FUNNEL,
         "multiline_merge": _SQL_MULTILINE,
         "grok_access_log": _sql_grok_access_log(),
         "returned_item_customers": _SQL_RETURNED_CUSTOMERS,

@@ -609,3 +609,32 @@ def test_profile_columns_exact_counts_one_pass(spark):
     # one scan: a single relation read in the plan (no per-column union)
     plan = executed_plan(profile_columns(df))
     assert plan.count("Scan ExistingRDD") <= 1 or plan.count("LocalTableScan") <= 1
+
+
+def test_funnel_counts_ordered_steps(spark):
+    from collector_spark.operators.funnel import funnel_counts
+    import datetime as dt
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: full ordered journey
+        (1, T(0), "signup"), (1, T(5), "click"), (1, T(9), "purchase"),
+        # u2: purchase BEFORE click → stops at click
+        (2, T(0), "signup"), (2, T(3), "purchase"), (2, T(6), "click"),
+        # u3: click before signup doesn't count; no click after
+        (3, T(5), "signup"), (3, T(2), "click"),
+        # u4: never signed up
+        (4, T(1), "click"), (4, T(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.step: r.n_users for r in funnel_counts(
+        df, ["signup", "click", "purchase"]).collect()}
+    assert out == {"signup": 3, "click": 2, "purchase": 1}
+
+    # within_seconds bounds the whole journey from step-1 time: u1's
+    # purchase lands 540 s after signup > 360 → step reports ZERO (a
+    # row is still emitted — empty steps must not vanish, the oracle's
+    # COUNT(*) reports 0)
+    out2 = {r.step: r.n_users for r in funnel_counts(
+        df, ["signup", "click", "purchase"], within_seconds=360).collect()}
+    assert out2 == {"signup": 3, "click": 2, "purchase": 0}
