@@ -756,6 +756,12 @@ def _validate_exists_body(node, var: str) -> None:
         and len(node.path.parts) <= 2
     ):
         return  # regex portability already validated at parse time
+    if (
+        isinstance(node, Has)
+        and node.path.parts[0] == var
+        and len(node.path.parts) == 2
+    ):
+        return  # has(x.field): present AND non-null on every backend
     raise CelSyntaxError(f"unsupported exists() body: {node!r}")
 
 
@@ -832,6 +838,14 @@ def _body_fields(body, var: str) -> dict[str, str] | None:
             and isinstance(n.path, Path)
             and n.path.parts[0] == var
         ):
+            note(n.path, "string")
+        elif (
+            isinstance(n, Has)
+            and n.path.parts[0] == var
+        ):
+            # presence-only usage parses as string (any scalar value);
+            # a numeric comparison elsewhere upgrades the field to
+            # double, making has() mean "has a NUMERIC value" there
             note(n.path, "string")
 
     walk(body)
@@ -1258,6 +1272,12 @@ def _compile_lambda_body(node, var: str, x: Column, outer: ColumnCompiler) -> Co
             return tgt.contains(node.arg.value)
         if node.fn == "matches":
             return tgt.rlike(node.arg.value)
+    if (
+        isinstance(node, Has)
+        and node.path.parts[0] == var
+        and len(node.path.parts) == 2
+    ):
+        return x.getField(node.path.parts[1]).isNotNull()
     raise CelSyntaxError("unsupported exists() body")
 
 
@@ -1614,6 +1634,12 @@ class SqlCompiler:
                 return f"contains({tgt}, {lit})"
             if node.fn == "matches":
                 return f"regexp_matches({tgt}, {lit})"
+        if (
+            isinstance(node, Has)
+            and node.path.parts[0] == var
+            and len(node.path.parts) == 2
+        ):
+            return f"({field_ref(node.path.parts[1])} IS NOT NULL)"
         raise CelSyntaxError("unsupported exists() body")
 
 
@@ -1713,9 +1739,10 @@ def eval_python(node, event: dict):
             raise CelEvalError("! on non-bool")
         return not val
     if isinstance(node, Has):
+        # present AND non-null — the Column/SQL backends compile has()
+        # to IS NOT NULL, and a JSON-null field reads as NULL there
         try:
-            _py_resolve(event, node.path)
-            return True
+            return _py_resolve(event, node.path) is not None
         except CelEvalError:
             return False
     if isinstance(node, Arith):
@@ -1925,6 +1952,8 @@ def _rebind(node, var: str):
         return Not(_rebind(node.operand, var))
     if isinstance(node, StrFn) and isinstance(node.path, Path):
         return StrFn(node.fn, _rebind(node.path, var), node.arg)
+    if isinstance(node, Has):
+        return Has(_rebind(node.path, var))
     return node
 
 

@@ -539,3 +539,55 @@ def test_size_overload_duckdb_backend(rule):
         ).fetchone()[0]
         got.append(bool(val))
     assert got == SIZE_TRUTH[rule], rule
+
+
+# ---------------------------------------------------------------------------
+# has() on struct-element fields + present-null alignment
+# ---------------------------------------------------------------------------
+
+HAS_EVENTS = [
+    '{"groups": [{"name": "a"}, {"n": 2}], "opt": "x"}',
+    '{"groups": [{"n": 1}], "opt": null}',
+    '{"groups": []}',
+]
+
+HAS_TRUTH = {
+    # field presence per element
+    'event.groups.exists(g, has(g.name))': [True, False, False],
+    'event.groups.all(g, has(g.n))': [False, True, True],
+    # presence combined with a value predicate
+    'event.groups.exists(g, has(g.n) && g.n > 1)': [True, False, False],
+    # top-level has(): a JSON-null field is NOT "has" on any backend
+    'has(event.opt)': [True, False, False],
+}
+
+
+@pytest.mark.parametrize("rule", list(HAS_TRUTH))
+def test_has_python_oracle(rule):
+    ast = C.parse_rule(rule)
+    got = [C.rule_detection_python(e, [ast]) for e in HAS_EVENTS]
+    assert got == HAS_TRUTH[rule], rule
+
+
+@pytest.mark.parametrize("rule", list(HAS_TRUTH))
+def test_has_spark_backend(spark, rule):
+    df = spark.createDataFrame([(e,) for e in HAS_EVENTS], ["value"])
+    filt = C.CelFilter(rules=[rule], action="accept", mode="json")
+    kept = {r.value for r in filt.apply(df).collect()}
+    expected = {e for e, m in zip(HAS_EVENTS, HAS_TRUTH[rule]) if m}
+    assert kept == expected, rule
+
+
+@pytest.mark.parametrize("rule", list(HAS_TRUTH))
+def test_has_duckdb_backend(rule):
+    filt = C.CelFilter(rules=[rule], action="accept", mode="json")
+    pred = filt.sql_predicate()
+    con = duckdb.connect()
+    got = []
+    for e in HAS_EVENTS:
+        escaped = e.replace("'", "''")
+        val = con.execute(
+            f"select {pred.replace('value', f'''CAST('{escaped}' AS VARCHAR)''')}"
+        ).fetchone()[0]
+        got.append(bool(val))
+    assert got == HAS_TRUTH[rule], rule
