@@ -369,6 +369,28 @@ UNION ALL SELECT 2, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s2
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle over events: users bucketed by their
+    first-activity week, distinct-counted in each later week they
+    appear."""
+    from collector_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir))
+
+
+_SQL_RETENTION = """
+WITH activity AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS p
+  FROM events),
+firsts AS (SELECT u, MIN(p) AS cohort FROM activity GROUP BY 1)
+SELECT cohort,
+       CAST(datediff('day', cohort, p) AS INT) AS days_since,
+       CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+FROM activity JOIN firsts USING (u)
+GROUP BY 1, 2
+"""
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data-quality profile of events (exact counts, one
     aggregation pass, unpivoted without a per-column re-scan)."""
@@ -2674,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "profile_columns": q_profile_columns,
         "funnel_conversion": q_funnel_conversion,
+        "retention_cohorts": q_retention_cohorts,
         "multiline_merge": q_multiline_merge,
         "grok_access_log": q_grok_access_log,
         "returned_item_customers": q_returned_item_customers,
@@ -2746,6 +2769,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip": _SQL_CSV_ROUNDTRIP,
         "profile_columns": _SQL_PROFILE,
         "funnel_conversion": _SQL_FUNNEL,
+        "retention_cohorts": _SQL_RETENTION,
         "multiline_merge": _SQL_MULTILINE,
         "grok_access_log": _sql_grok_access_log(),
         "returned_item_customers": _SQL_RETURNED_CUSTOMERS,

@@ -21,7 +21,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_counts"]
+__all__ = ["funnel_counts", "retention_cohorts"]
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """(cohort, periods_since, n_users) — classic retention triangle:
+    users grouped by their FIRST-activity period, counted distinct in
+    every later period they appear. Two aggregations: per-user first
+    period (map-side-combined min), then a distinct count per
+    (cohort, offset) over the user-period pairs — no windows over the
+    raw stream."""
+    p = F.date_trunc(period, F.col(ts_col)).cast("date")
+    activity = df.select(
+        F.col(user_col).alias("_u"), p.alias("_p")
+    ).distinct()
+    first = activity.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    return (
+        activity.join(first, "_u")
+        .groupBy(
+            F.col("_cohort").alias("cohort"),
+            F.datediff(F.col("_p"), F.col("_cohort")).alias("days_since"),
+        )
+        .agg(F.count_distinct("_u").alias("n_users"))
+    )
 
 
 def funnel_counts(

@@ -638,3 +638,23 @@ def test_funnel_counts_ordered_steps(spark):
     out2 = {r.step: r.n_users for r in funnel_counts(
         df, ["signup", "click", "purchase"], within_seconds=360).collect()}
     assert out2 == {"signup": 3, "click": 2, "purchase": 0}
+
+
+def test_retention_cohorts_planted(spark):
+    from collector_spark.operators.funnel import retention_cohorts
+    import datetime as dt
+
+    W = lambda w, d=0: dt.datetime(2024, 1, 1 + 7 * w + d)  # Mondays
+    rows = [
+        (1, W(0)), (1, W(1)), (1, W(2)),    # cohort w0, retained w1+w2
+        (2, W(0)), (2, W(2)),               # cohort w0, back in w2
+        (3, W(1)),                          # cohort w1 only
+        (2, W(0, 3)),                       # same week twice → one activity
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.cohort.day, r.days_since): r.n_users
+           for r in retention_cohorts(df).collect()}
+    assert out == {
+        (1, 0): 2, (1, 7): 1, (1, 14): 2,   # w0 cohort: both, u1, both
+        (8, 0): 1,                          # w1 cohort: u3
+    }
