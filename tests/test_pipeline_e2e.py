@@ -411,3 +411,57 @@ def test_pipeline_config_file_without_instance_id_uses_filename(tmp_path):
     p.write_text('{"sinks": []}')
     cfg = PipelineConfig.from_file(str(p))
     assert cfg.instance_id == "my_instance"
+
+
+def test_pipeline_grok_then_cel_routing(spark, tmp_path):
+    """The round-4 parser kinds run INSIDE the pipeline config path:
+    raw access-log lines → grok (typed JSON objects) → cel filter on
+    the extracted fields → routed sinks with per-sink counts."""
+    lines = [
+        '10.0.0.1 GET /api/a 200',
+        '10.0.0.2 POST /api/b 500',
+        '10.0.0.3 GET /api/c 404',
+        'garbage line that grok drops',
+        '10.0.0.4 GET /api/d 200',
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    config = PipelineConfig(
+        instance_id="grok1",
+        processors=[
+            {"kind": "grok",
+             "pattern": "%{IP:client} %{WORD:method} %{NOTSPACE:path} %{INT:status}"},
+            {"kind": "cel", "rules": ["event.status >= 200"]},
+        ],
+        sinks=[
+            SinkSpec("errors", "parquet", "event.status >= 400",
+                     {"path": str(tmp_path / "err")}),
+            SinkSpec("all", "file", None, {"path": str(tmp_path / "all")}),
+        ],
+    )
+    pipe = Pipeline(config, state_dir=str(tmp_path / "state"))
+    record = pipe.run_batch(df, batch_id=0)
+    assert record.per_sink_counts == {"errors": 2, "all": 4}
+    err = [json.loads(r.value) for r in
+           spark.read.parquet(str(tmp_path / "err" / "batch_id=0")).collect()]
+    assert sorted(e["status"] for e in err) == [404, 500]
+    assert all(set(e) == {"client", "method", "path", "status"} for e in err)
+
+
+def test_pipeline_csv_processor_config_path(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("1,click,2.5",), ("2,error,9.0",), ("broken",)], ["value"]
+    )
+    config = PipelineConfig(
+        instance_id="csv1",
+        processors=[
+            {"kind": "csv", "schema": "id bigint, kind string, v double"},
+            {"kind": "cel", "rules": ['event.kind == "error"'], "action": "reject"},
+        ],
+        sinks=[SinkSpec("out", "parquet", None, {"path": str(tmp_path / "o")})],
+    )
+    pipe = Pipeline(config, state_dir=str(tmp_path / "state"))
+    record = pipe.run_batch(df, batch_id=0)
+    assert record.per_sink_counts == {"out": 1}
+    rows = [json.loads(r.value) for r in
+            spark.read.parquet(str(tmp_path / "o" / "batch_id=0")).collect()]
+    assert rows == [{"id": 1, "kind": "click", "v": 2.5}]
