@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "returned_item_customers",
     "large_volume_customers",
     "rolling_7day_revenue",
+    "profile_columns",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 
