@@ -2662,15 +2662,55 @@ FROM per CROSS JOIN tot
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT: the driver correctness gate consumed exactly the
-    # first 50 dict entries in round 3, leaving the 17 newest queries
-    # without an external oracle row (VERDICT r3 #1). Entries that have
-    # never received a driver CORRECTNESS row therefore come FIRST;
-    # queries already driver-verified green (CORRECTNESS_r03.json, 50/50)
-    # follow, most-load-bearing first, and remain covered by the local
-    # DuckDB mirror (tests/test_queries_vs_duckdb.py) either way.
+    # ORDERING CONTRACT: the driver correctness gate consumes exactly the
+    # first 50 dict entries per round. Round-5 window (VERDICT r4 #1):
+    # the 31 queries whose last driver green is CORRECTNESS_r03 come
+    # FIRST — 12 of them had implementing code changed in round 4 after
+    # that green (ann_ivf_*, ann_lsh_topk, contamination_check,
+    # token_count_agg, distinct_token_ratio, dedup_ngram_jaccard, and the
+    # LSH-adjacent greens) — then queries whose code changes THIS round,
+    # then new round-5 queries. The r4 greens (CORRECTNESS_r04, 50/50)
+    # rotate to the back and stay covered by the local DuckDB mirror
+    # (tests/test_queries_vs_duckdb.py).
     return {
-        # --- never driver-verified (r3 entries 51-67) ---
+        # --- last driver green is r03; 12 changed in r4 (freshness gap) ---
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
+        "contamination_check": q_contamination_check,
+        "token_count_agg": q_token_count_agg,
+        "distinct_token_ratio": q_distinct_token_ratio,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "pivot_event_counts": q_pivot_event_counts,
+        "fingerprint_md5": q_fingerprint_md5,
+        "fingerprint_rolling": q_dedup_fingerprint_rolling,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "rollup_counts": q_rollup_counts,
+        "cube_counts": q_cube_counts,
+        "running_total": q_running_total,
+        "set_ops": q_set_ops,
+        "join_shuffle_agg": q_join_shuffle_agg,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
+        "redact_pii": q_redact_pii,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "multi_join_agg": q_multi_join_agg,
+        "cel_filter_macros": q_cel_filter_macros,
+        "top_revenue_orders": q_top_revenue_orders,
+        "late_shipment_priority": q_late_shipment_priority,
+        "small_qty_revenue": q_small_qty_revenue,
+        # --- code changes in round 5 (re-verify under current code) ---
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        # --- new round 5 (never driver-verified) ---
+        # --- driver-verified green in CORRECTNESS_r04 (50/50) ---
         "dup_span_profile": q_dup_span_profile,
         "dedup_span_removal": q_dedup_span_removal,
         "repetition_profile": q_repetition_profile,
@@ -2688,7 +2728,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_count_histogram": q_order_count_histogram,
         "per_source_zscore": q_per_source_zscore,
         "high_balance_inactive": q_high_balance_inactive,
-        # --- new this round (also never driver-verified) ---
         "cel_filter_time": q_cel_filter_time,
         "cel_filter_conv": q_cel_filter_conv,
         "cel_filter_struct_macro": q_cel_filter_struct_macro,
@@ -2703,7 +2742,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": q_large_volume_customers,
         "rolling_7day_revenue": q_rolling_7day_revenue,
         "encode_tokens": q_encode_tokens,
-        # --- driver-verified green in CORRECTNESS_r03 (50/50) ---
         "pipeline_parse_route_agg": q_pipeline_parse_route_agg,
         "cel_filter_accept": q_cel_filter_accept,
         "cel_filter_reject": q_cel_filter_reject,
@@ -2718,42 +2756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": q_window_top_orders,
         "event_window_agg": q_event_window_agg,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_connected_components": q_dedup_connected_components,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "doc_length_quantiles": q_doc_length_quantiles,
-        "pivot_event_counts": q_pivot_event_counts,
-        "token_count_agg": q_token_count_agg,
-        "fingerprint_md5": q_fingerprint_md5,
-        "fingerprint_rolling": q_dedup_fingerprint_rolling,
-        "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "rollup_counts": q_rollup_counts,
-        "cube_counts": q_cube_counts,
-        "running_total": q_running_total,
-        "set_ops": q_set_ops,
-        "join_shuffle_agg": q_join_shuffle_agg,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
-        "frame_sample": q_frame_sample,
-        "redact_pii": q_redact_pii,
-        "distinct_token_ratio": q_distinct_token_ratio,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "multi_join_agg": q_multi_join_agg,
-        "cel_filter_macros": q_cel_filter_macros,
-        "top_revenue_orders": q_top_revenue_orders,
-        "late_shipment_priority": q_late_shipment_priority,
-        "small_qty_revenue": q_small_qty_revenue,
-        "contamination_check": q_contamination_check,
     }
 
 
