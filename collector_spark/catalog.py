@@ -40,7 +40,21 @@ class Catalog:
     def read_table(self, name: str) -> DataFrame:
         if _iceberg_available(self.spark, name):
             return self.spark.table(name)
-        return self.spark.read.parquet(self._path(name))
+        path = self._path(name)
+        self._recover_compaction(path)
+        return self.spark.read.parquet(path)
+
+    @staticmethod
+    def _recover_compaction(path: str) -> None:
+        """Heal a crash inside compact()'s two-rename publish window: if
+        the table path is missing but the ``.compact_old`` backup exists,
+        the crash happened between the renames — restore the backup so
+        the old table stays readable (the compacted copy in
+        ``.compact_tmp``, if complete, is re-derivable and is swept by
+        the next compact())."""
+        backup = path + ".compact_old"
+        if not os.path.exists(path) and os.path.exists(backup):
+            os.rename(backup, path)
 
     def append(self, df: DataFrame, name: str) -> None:
         if _iceberg_available(self.spark, name):
@@ -107,11 +121,24 @@ class Catalog:
         the rewrite repartitions BY that column so compaction also
         restores partition clustering. With an Iceberg catalog this is
         rewrite_data_files; the parquet fallback is
-        read → repartition → atomic-swap overwrite.
+        read → repartition → swap.
+
+        The parquet swap is two sequential renames, NOT atomic: a crash
+        between them leaves the table path momentarily absent. That
+        window is healed by ``_recover_compaction`` (called here and on
+        every ``read_table``), which renames the ``.compact_old`` backup
+        back into place — so a crash never LOSES the table, it only
+        rolls the compaction back. The fallback assumes a single writer:
+        rows appended concurrently with the rewrite are not in the
+        snapshot being compacted and are dropped by the swap (use the
+        Iceberg path when concurrent appenders exist — its REPLACE
+        snapshot is serialized against appends). files/rows stats are
+        of the compacted snapshot, not of any concurrent appends.
 
         Returns {"files_before", "files_after", "rows"}.
         """
         import glob
+        import shutil
 
         if _iceberg_available(self.spark, name):
             cat = name.split(".")[0]
@@ -121,6 +148,14 @@ class Catalog:
             )
             return {"files_before": -1, "files_after": -1, "rows": -1}
         path = self._path(name)
+        tmp = path + ".compact_tmp"
+        backup = path + ".compact_old"
+        # heal a prior crash, then sweep its leftovers so the renames
+        # below cannot collide with stale dirs
+        self._recover_compaction(path)
+        for stale in (tmp, backup):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
 
         def n_files() -> int:
             return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
@@ -139,17 +174,14 @@ class Catalog:
             else df.repartition(int(n_out))
         )
         # write-to-temp + swap: a crash mid-compaction must never lose
-        # the table (same publish discipline as the GCS composite sink)
-        tmp = path + ".compact_tmp"
+        # the table (same publish discipline as the GCS composite sink);
+        # the rename-pair window is recoverable — see docstring
         writer = out.write.mode("overwrite")
         if partition_col:
             writer = writer.partitionBy(partition_col)
         writer.parquet(tmp)
-        backup = path + ".compact_old"
         os.rename(path, backup)
         os.rename(tmp, path)
-        import shutil
-
         shutil.rmtree(backup)
         return {"files_before": before, "files_after": n_files(), "rows": rows}
 

@@ -1740,7 +1740,13 @@ def eval_python(node, event: dict):
         return not val
     if isinstance(node, Has):
         # present AND non-null — the Column/SQL backends compile has()
-        # to IS NOT NULL, and a JSON-null field reads as NULL there
+        # to IS NOT NULL, and a JSON-null field reads as NULL there.
+        # DOCUMENTED DIVERGENCE from cel-go (engine.go), which treats a
+        # present-but-null JSON key as has()==true: struct-typed Column
+        # events cannot distinguish null from absent (from_json maps
+        # both to SQL NULL), so all three backends agree on the
+        # non-null semantics instead (pinned: tests/test_cel.py
+        # HAS_TRUTH, 'has(event.opt)' on {"opt": null})
         try:
             return _py_resolve(event, node.path) is not None
         except CelEvalError:

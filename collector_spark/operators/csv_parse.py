@@ -18,15 +18,47 @@ from pyspark.sql import functions as F
 __all__ = ["csv_extract", "CsvParser"]
 
 
-def _check_flat_schema(schema: str) -> None:
-    # CSV records are flat; a nested type ("a array<int>") would also
-    # break the comma-split field listing — reject it loudly
+_NAME = __import__("re").compile(r"^[A-Za-z_]\w*$")
+
+
+def _schema_fields(schema: str) -> list[str]:
+    """Field names from a flat DDL schema string. Splits on top-level
+    commas only, so parameterized types — ``amount decimal(10,2)`` —
+    don't shed bogus fields (a bare ``schema.split(',')`` yielded
+    ``'2)'`` as a field name and failed confusingly at analysis time).
+    Rejects nested types, non-identifier names, duplicates, and the
+    reserved ``_corrupt`` name at config time."""
+    # CSV records are flat; a nested type ("a array<int>") can't map to
+    # one delimited cell — reject it loudly
     if "<" in schema or ">" in schema:
-        raise ValueError(
-            f"csv schema must use flat atomic types, got {schema!r}"
-        )
-    if "_corrupt" in [f.strip().split(" ")[0] for f in schema.split(",")]:
+        raise ValueError(f"csv schema must use flat atomic types, got {schema!r}")
+    parts, depth, cur = [], 0, []
+    for ch in schema:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    if depth != 0:
+        raise ValueError(f"unbalanced parentheses in csv schema {schema!r}")
+    names: list[str] = []
+    for p in parts:
+        toks = p.strip().split()
+        if len(toks) < 2 or not _NAME.match(toks[0]):
+            raise ValueError(
+                f"csv schema field {p.strip()!r} is not 'name type'"
+            )
+        names.append(toks[0])
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate field names in csv schema {schema!r}")
+    if "_corrupt" in names:
         raise ValueError("'_corrupt' is a reserved csv field name")
+    return names
 
 
 def _parsed(value: Column, schema: str, sep: str, quote: str, escape: str) -> Column:
@@ -60,12 +92,18 @@ def csv_extract(
 ) -> DataFrame:
     """Append one typed column per schema field. ``drop_malformed``
     filters lines the schema rejects; ``False`` keeps them with NULLs."""
-    _check_flat_schema(schema)
+    fields = _schema_fields(schema)
+    clash = set(fields) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"csv schema fields collide with existing columns: {sorted(clash)}"
+        )
+    if "_p" in df.columns:
+        raise ValueError("'_p' is a reserved column name")
     parsed = _parsed(F.col(value_col), schema, sep, quote, escape)
     out = df.withColumn("_p", parsed)
     if drop_malformed:
         out = out.filter(F.col("_p._corrupt").isNull())
-    fields = [f.strip().split(" ")[0] for f in schema.split(",")]
     return out.select(
         *df.columns, *[F.col(f"_p.{f}").alias(f) for f in fields]
     )
@@ -84,13 +122,12 @@ class CsvParser:
         quote: str = '"',
         escape: str = '"',
     ):
-        _check_flat_schema(schema)
+        self.fields = _schema_fields(schema)
         self.schema = schema
         self.sep = sep
         self.quote = quote
         self.escape = escape
         self.value_col = value_col
-        self.fields = [f.strip().split(" ")[0] for f in schema.split(",")]
 
     def apply(self, df: DataFrame) -> DataFrame:
         parsed = _parsed(

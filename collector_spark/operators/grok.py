@@ -22,10 +22,11 @@ grok's "_grokparsefailure drop" convention and the reference's
 drop-line-on-parse-failure behavior (kv.go:50-60); ``False`` keeps
 them with all-NULL fields.
 
-Caveat: match detection uses the marker count in the replaced string,
-so a raw line that itself contains ``\\x01`` bytes could false-match;
-binary-unsafe inputs should be filtered upstream (the reference's line
-model is text).
+Lines containing raw ``\\x01`` bytes are treated as REJECTS with their
+own reason (``grok_binary_line``): match detection splits the replaced
+string on ``\\x01``, so such a line could otherwise false-match (or a
+matched capture containing the marker would shift every following
+field). The guard is a cheap ``contains`` pre-filter, not a regex.
 """
 
 from __future__ import annotations
@@ -157,11 +158,15 @@ def _grok_project(
     repl = _MARKER.join(f"${i + 1}" for i in range(len(fields)))
     parts = F.split(F.regexp_replace(F.col(value_col), anchored, repl), _MARKER)
     tmp = df.withColumn(_PARTS, parts)
+    # marker-bearing lines can false-match the part count (or shift
+    # fields when a capture contains \x01) — treat them as unmatched
+    # here; rejects() labels them with their own reason
+    clean = ~F.col(value_col).contains(_MARKER)
     if len(fields) == 1:
         # a 1-field split count can't distinguish match from pass-through
-        matched = F.col(value_col).rlike(anchored)
+        matched = clean & F.col(value_col).rlike(anchored)
     else:
-        matched = F.size(F.col(_PARTS)) == F.lit(len(fields))
+        matched = clean & (F.size(F.col(_PARTS)) == F.lit(len(fields)))
     cols = []
     for i, name in enumerate(fields):
         c = F.when(matched, F.col(_PARTS)[i]).otherwise(F.lit(None))
@@ -224,8 +229,12 @@ class GrokParser:
         tmp, _, matched = _grok_project(
             df, self.value_col, self.regex, self.fields, self.types
         )
+        reason = F.when(
+            F.coalesce(F.col(self.value_col).contains(_MARKER), F.lit(False)),
+            F.lit("grok_binary_line"),
+        ).otherwise(F.lit("grok_no_match"))
         return (
             tmp.filter(~F.coalesce(matched, F.lit(False)))
             .select(*df.columns)
-            .withColumn("reject_reason", F.lit("grok_no_match"))
+            .withColumn("reject_reason", reason)
         )

@@ -292,6 +292,17 @@ class GcsSink(FileSink):
         nested = jvm.org.apache.hadoop.fs.Path(jfinal, jtmp.getName())
         if fs.exists(nested):
             fs.delete(nested, True)
+        # a rename that failed for a reason OTHER than losing the race
+        # (spurious FS error) must not be swallowed: the temp is gone,
+        # so if no winner published the part either, the batch's rows
+        # would silently vanish while last_metrics reports them written.
+        # Raise so the streaming engine retries the batch.
+        if not fs.exists(jfinal):
+            raise IOError(
+                f"publish failed: rename {tmp} -> {final} did not succeed "
+                "and no concurrent writer published the part; batch must "
+                "be retried"
+            )
 
 
 def _http_sinks():

@@ -73,3 +73,38 @@ def test_compact_with_partition_clustering(spark, tmp_path):
     out = cat.read_table("db.p")
     assert out.count() == 300
     assert set(r.part for r in out.select("part").distinct().collect()) == {0, 1, 2}
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """A crash inside compact()'s rename window (table renamed to
+    .compact_old, new copy not yet in place) must leave the table
+    readable: read_table heals it, and a subsequent compact() sweeps
+    stale .compact_tmp/.compact_old leftovers instead of failing."""
+    import os
+    import shutil
+
+    from collector_spark.catalog import Catalog
+
+    cat = Catalog(spark, root=str(tmp_path))
+    df = spark.range(0, 200).withColumn("part", (F.col("id") % 3).cast("int"))
+    for i in range(4):
+        cat.append(df.filter(F.col("id") % 4 == i), "db.r")
+    path = os.path.join(str(tmp_path), "db", "r")
+
+    # simulate the mid-swap crash: backup exists, table path missing,
+    # and a stale (complete) tmp dir is also left behind
+    shutil.copytree(path, path + ".compact_tmp")
+    os.rename(path, path + ".compact_old")
+    assert not os.path.exists(path)
+
+    out = cat.read_table("db.r")  # heals: backup renamed back
+    assert out.count() == 200
+    assert os.path.exists(path)
+    assert not os.path.exists(path + ".compact_old")
+
+    # stale tmp from the crash must not break (or corrupt) the next run
+    stats = cat.compact("db.r", target_file_mb=256)
+    assert stats["rows"] == 200
+    assert not os.path.exists(path + ".compact_tmp")
+    assert not os.path.exists(path + ".compact_old")
+    assert cat.read_table("db.r").count() == 200

@@ -557,7 +557,16 @@ HAS_TRUTH = {
     'event.groups.all(g, has(g.n))': [False, True, True],
     # presence combined with a value predicate
     'event.groups.exists(g, has(g.n) && g.n > 1)': [True, False, False],
-    # top-level has(): a JSON-null field is NOT "has" on any backend
+    # top-level has(): a JSON-null field is NOT "has" on any backend.
+    # PINNED DIVERGENCE from cel-go (the reference engine, engine.go):
+    # cel-go treats a present-but-JSON-null key as has()==true. Our
+    # Column backend reads struct-typed events where get_json_object /
+    # from_json map JSON null and absent-key to the SAME SQL NULL — key
+    # existence is unrecoverable there, so all three backends compile
+    # has() to "present AND non-null" to stay mutually consistent
+    # (three-way agreement beats matching cel-go on one backend only).
+    # Event 2 below ({"opt": null}) is the divergence witness: cel-go
+    # says True, we say False.
     'has(event.opt)': [True, False, False],
 }
 

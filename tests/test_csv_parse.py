@@ -101,3 +101,28 @@ def test_csv_quoting_roundtrip_random(spark):
         gs, gn = got[i]
         assert (gs or "") == s, (i, s, gs)
         assert gn == n
+
+
+def test_csv_schema_with_parenthesized_type(spark):
+    """decimal(10,2) must parse as ONE field — the old comma-split
+    yielded a bogus '2)' field that failed at analysis time."""
+    df = spark.createDataFrame([("x,12.50",), ("y,0.25",)], ["value"])
+    out = csv_extract(df, "name string, amount decimal(10,2)")
+    assert out.columns[-2:] == ["name", "amount"]
+    assert sorted(str(r.amount) for r in out.collect()) == ["0.25", "12.50"]
+
+
+def test_csv_schema_field_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a,1",)], ["value"])
+    with pytest.raises(ValueError, match="not 'name type'"):
+        csv_extract(df, "name string, justaname")
+    with pytest.raises(ValueError, match="duplicate"):
+        csv_extract(df, "a string, a bigint")
+    with pytest.raises(ValueError, match="unbalanced"):
+        csv_extract(df, "a decimal(10, b string")
+    # collision with an existing column (grok_extract parity)
+    df2 = spark.createDataFrame([("a,1", "x")], ["value", "name"])
+    with pytest.raises(ValueError, match="collide"):
+        csv_extract(df2, "name string, n bigint")

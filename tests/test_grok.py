@@ -128,3 +128,30 @@ def test_grok_rejects_dead_letter(spark, tmp_path):
     assert {r.reject_reason for r in rej.collect()} == {"grok_no_match"}
     sink = FileSink(path=str(tmp_path / "dlq"))
     assert sink.write(rej.select("value"), batch_id=0) == rej.count()
+
+
+def test_grok_marker_bearing_line_is_rejected_not_false_matched(spark):
+    """A line containing raw \\x01 bytes must never false-match (the
+    match test counts \\x01-delimited parts) — it is a reject with its
+    own reason, and apply()+rejects() still partition the input."""
+    two_field = "%{WORD:a} %{WORD:b}"
+    # crafted: unmatched by the pattern but contains exactly one \x01,
+    # which would previously satisfy the 2-part count check
+    evil = "no-space-here\x01tail!"
+    ok = "hello world"
+    df = spark.createDataFrame([(evil,), (ok,)], ["value"])
+
+    out = G.grok_extract(df, two_field)
+    assert [(r.a, r.b) for r in out.collect()] == [("hello", "world")]
+
+    proc = G.GrokParser(two_field)
+    assert proc.apply(df).count() == 1
+    rej = {r.value: r.reject_reason for r in proc.rejects(df).collect()}
+    assert rej == {evil: "grok_binary_line"}
+
+    # a MATCHED line whose capture carries \x01 would shift all later
+    # fields — also a reject, not garbage output
+    shifty = "a\x01b cd"  # matches %{NOTSPACE} %{WORD} shape
+    df2 = spark.createDataFrame([(shifty,)], ["value"])
+    out2 = G.grok_extract(df2, "%{NOTSPACE:x} %{WORD:y}")
+    assert out2.count() == 0

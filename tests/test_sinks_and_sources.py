@@ -530,6 +530,32 @@ def test_gcs_composite_concurrent_same_batch_ticks(spark, tmp_path):
     assert vals == ["x", "y", "z"]  # exactly once — no dupes, no loss
 
 
+def test_gcs_publish_raises_on_spurious_rename_failure(spark, tmp_path):
+    """A rename that fails for a reason other than losing the race must
+    raise instead of silently dropping the batch part — otherwise rows
+    are reported written that no reader can see. Local FS raises from
+    rename itself (propagates); stores whose rename returns false hit
+    the explicit exists(final) guard. Either way: never silent."""
+    import os
+
+    import pytest
+
+    from collector_spark.sinks.sinks import GcsSink
+
+    tmp = str(tmp_path / "tickdir")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-0"), "w") as f:
+        f.write("x\n")
+    # destination parent is a regular FILE → rename cannot succeed and
+    # no concurrent winner can have published the part
+    with open(str(tmp_path / "parentfile"), "w") as f:
+        f.write("")
+    final = str(tmp_path / "parentfile" / "part_batch_id=1")
+    with pytest.raises(Exception, match="publish failed|ParentNotDirectory"):
+        GcsSink._publish_by_rename(spark, f"file:{tmp}", f"file:{final}")
+    assert not os.path.exists(final)
+
+
 def test_sink_empty_count_uses_whitespace_class(spark, tmp_path):
     """Tab/CR-only values are EMPTY like the reference's TrimSpace'd
     lines — F.trim (spaces only) used to count '\\t' as written."""
