@@ -328,3 +328,50 @@ def test_encode_tokens_vocab_broadcasts(spark):
     plan = executed_plan(out)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_funnel_per_step_aggregation_shape(spark):
+    """funnel_counts: each step is a map-side-combined (user, min ts)
+    aggregation joined on the user key — partial aggregates must appear
+    before every exchange feeding a step agg, and the event scan must
+    never shuffle raw event rows unaggregated into a window (no Window
+    operator at all)."""
+    from collector_spark.operators.funnel import funnel_counts
+    from collector_spark.plans.inspect import executed_plan
+
+    rows = [(u, f"2024-01-0{1 + (u + s) % 5}", t)
+            for u in range(20) for s, t in enumerate(["signup", "activate", "purchase"])]
+    df = spark.createDataFrame(rows, ["user_id", "d", "event_type"]).select(
+        "user_id", F.to_timestamp("d").alias("ts"), "event_type"
+    )
+    out = funnel_counts(df, ["signup", "activate", "purchase"])
+    plan = executed_plan(out)
+    assert "Window" not in plan, plan
+    # every step groupBy is hash-partitioned on the user key with a
+    # partial_min before the exchange (map-side combine)
+    assert "partial_min" in plan, plan
+    assert plan.count("partial_min") >= 2, plan  # steps 1..n-1 + step joins
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_retention_single_user_key_join(spark):
+    """retention_cohorts: ONE user-keyed join (activity x first-period),
+    distinct + min both map-side combined, no window over the raw
+    stream, no cartesian."""
+    from collector_spark.operators.funnel import retention_cohorts
+    from collector_spark.plans.inspect import executed_plan
+
+    rows = [(u % 7, f"2024-01-{1 + (u % 21):02d}") for u in range(100)]
+    df = spark.createDataFrame(rows, ["user_id", "d"]).select(
+        "user_id", F.to_timestamp("d").alias("ts")
+    )
+    out = retention_cohorts(df)
+    plan = executed_plan(out)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # exactly one join, keyed on the user column
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, plan
+    # the per-user first-period agg combines map-side
+    assert "partial_min" in plan, plan
