@@ -227,13 +227,76 @@ class IncrementalSource:
         return df, new_state
 
 
+def _json_quote(c):
+    # JSON-escape a scalar string via a 1-element array round-trip:
+    # to_json(array('a"b')) = '["a\"b"]' → strip the brackets
+    arr = F.to_json(F.array(c))
+    return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
+
+
+def merge_kafka_headers(value, headers):
+    """The reference's @headers merge (kafka.go:182-214,
+    addHeadersToJsonMessages), as one Catalyst expression:
+
+    - only JSON OBJECT payloads are touched (Go unmarshals into
+      map[string]interface{}; scalars/arrays/non-JSON error out and the
+      message passes through unchanged);
+    - each header value that itself parses as JSON embeds as that JSON
+      value (numbers stay numbers, objects stay objects — kafka.go:
+      193-200), anything else embeds as a JSON string;
+    - the result is the payload object with an ``@headers`` object
+      spliced in before the closing brace, so existing keys keep their
+      original bytes (Go re-marshals, which normalizes whitespace/key
+      order — byte layout differs, parsed value is identical; pinned by
+      a parsed-equality twin in tests/test_kafka_e2e.py).
+
+    Caveat: a payload that ALREADY has an "@headers" key ends up with a
+    duplicate key; JSON parsers take the last occurrence, matching Go's
+    map-overwrite observable behavior.
+
+    ``value``: string Column; ``headers``: Column of
+    array<struct<key:string,value:binary>> (NULL when the message had
+    no headers — merged as the empty object, like Go's empty map).
+    """
+    trimmed = F.rtrim(F.ltrim(value))
+    is_obj = F.try_parse_json(value).isNotNull() & trimmed.startswith("{")
+    is_empty_obj = trimmed.rlike(r"^\{\s*\}$")
+    hs = F.coalesce(headers, F.array().cast(
+        "array<struct<key:string,value:binary>>"
+    ))
+
+    def pair(h):
+        hv = h.getField("value").cast("string")
+        embedded = F.when(F.try_parse_json(hv).isNotNull(), hv).otherwise(
+            _json_quote(hv)
+        )
+        return F.concat(_json_quote(h.getField("key")), F.lit(":"), embedded)
+
+    headers_json = F.concat(
+        F.lit("{"), F.concat_ws(",", F.transform(hs, pair)), F.lit("}")
+    )
+    body = trimmed.substr(F.lit(1), F.length(trimmed) - F.lit(1))
+    merged = F.concat(
+        body,
+        F.when(is_empty_obj, F.lit("")).otherwise(F.lit(",")),
+        F.lit('"@headers":'),
+        headers_json,
+        F.lit("}"),
+    )
+    return F.when(is_obj, merged).otherwise(value)
+
+
 class KafkaSource:
     """readStream.format('kafka'); header injection (include_headers →
-    the reference's @headers JSON merge, kafka.go:182-214) becomes
-    map_from_entries(headers) merged into the payload. ``auth_config``
-    takes the reference's SASL schema (scram_sha_256/512, gssapi_keytab,
+    the reference's @headers JSON merge, kafka.go:182-214) is
+    ``merge_kafka_headers`` above. ``auth_config`` takes the reference's
+    SASL schema (scram_sha_256/512, gssapi_keytab,
     internal/integrations/kafka/auth.go:13-101) and is translated to
-    kafka.sasl.* connector options (see sources/kafka_auth.py)."""
+    kafka.sasl.* connector options (see sources/kafka_auth.py).
+    ``fmt`` is the wire-format seam: 'kafka' in production, a registered
+    Python Data Source (tests/fake_kafka.py's in-process broker) in
+    offline end-to-end tests — everything else (options, header merge,
+    projection) is the production code path."""
 
     def __init__(
         self,
@@ -243,6 +306,7 @@ class KafkaSource:
         include_headers: bool = False,
         auth_config: dict | None = None,
         security_protocol: str = "SASL_SSL",
+        fmt: str = "kafka",
     ):
         from collector_spark.sources.kafka_auth import kafka_auth_options
 
@@ -250,6 +314,7 @@ class KafkaSource:
         self.topic = topic
         self.group_id = group_id
         self.include_headers = include_headers
+        self.fmt = fmt
         # validate at config time (reference fails in New*, not on use)
         self.auth_options = kafka_auth_options(auth_config, security_protocol)
 
@@ -266,29 +331,12 @@ class KafkaSource:
         return opts
 
     def stream(self, spark: SparkSession) -> DataFrame:
-        reader = spark.readStream.format("kafka").options(**self.reader_options())
+        reader = spark.readStream.format(self.fmt).options(**self.reader_options())
         df = reader.load()
         value = F.col("value").cast("string")
         if self.include_headers:
-            headers = F.map_from_entries(
-                F.transform(
-                    "headers",
-                    lambda h: F.struct(
-                        h.getField("key").alias("key"),
-                        h.getField("value").cast("string").alias("value"),
-                    ),
-                )
-            )
-            # merge @headers into JSON payloads (kafka.go:182-214)
-            value = F.when(
-                F.try_parse_json(value).isNotNull(),
-                F.to_json(
-                    F.struct(
-                        F.from_json(value, "map<string,string>").alias("payload"),
-                        headers.alias("@headers"),
-                    )
-                ),
-            ).otherwise(value)
+            # merge @headers into JSON-object payloads (kafka.go:182-214)
+            value = merge_kafka_headers(value, F.col("headers"))
         return df.select(value.alias("value"))
 
 
@@ -308,6 +356,62 @@ class SocketSource:
         )
 
 
+class OAuthTokenProvider:
+    """OAuth2 client-credentials bearer token with expiry tracking —
+    the reference msgraph client's login lifecycle (internal/
+    integrations/msgraph/client.go:41-55 NewClient seeds
+    accessTokenExpires=now so the first call logs in; :89-128 login
+    stores token + expiry; :130-141 makeCall refreshes lazily when
+    ``time.Now().After(accessTokenExpires)`` or the token is empty).
+
+    ``login_fn()`` is injected (no network in the sandbox; real
+    deployments POST grant_type=client_credentials to the tenant's
+    /oauth2/v2.0/token) and returns the authResponse dict:
+    ``{"access_token": str, "expires_in": int|str}``. Expiry becomes
+    now + expires_in seconds; an absent/garbled expires_in falls back
+    to 29 minutes (client.go:120-125). Login attempts retry up to
+    ``retries`` extra times (resty SetRetryCount(3), client.go:48) and
+    the final failure propagates — the poller's whole window then fails
+    and the cursor stays put.
+    """
+
+    def __init__(self, login_fn, retries: int = 3, now_fn=None,
+                 fallback_ttl_s: int = 29 * 60):
+        if login_fn is None:
+            raise ValueError("login_fn callable is required")
+        import time as _time
+
+        self._login_fn = login_fn
+        self._retries = retries
+        self._now = now_fn or _time.time
+        self._fallback_ttl = fallback_ttl_s
+        self._token: str | None = None
+        self._expires: float = self._now()  # pre-expired: first use logs in
+
+    def token(self) -> str:
+        """Current bearer token, refreshing first when expired."""
+        if self._token is None or self._now() >= self._expires:
+            self._login()
+        return self._token
+
+    def _login(self) -> None:
+        last_exc: Exception | None = None
+        for _ in range(1 + self._retries):
+            try:
+                res = self._login_fn()
+                break
+            except Exception as exc:  # noqa: BLE001 — retried, then re-raised
+                last_exc = exc
+        else:
+            raise last_exc
+        self._token = res["access_token"]
+        try:
+            ttl = int(res["expires_in"])
+        except (KeyError, TypeError, ValueError):
+            ttl = self._fallback_ttl
+        self._expires = self._now() + ttl
+
+
 class HttpPollerSource:
     """msgraph-style incremental API poller (internal/input/msgraph/
     msgraph.go:90-222): pull a time window (last_cursor, now], paginate
@@ -321,6 +425,14 @@ class HttpPollerSource:
     Real deployments pass a requests-based fetcher with auth; the sandbox
     tests pagination/cursor semantics with a fake. ``page_size`` mirrors
     msgraph's $top=1000 (msgraph.go:131).
+
+    ``token_provider`` (an OAuthTokenProvider) models the reference
+    client's bearer lifecycle: each PAGE fetch re-checks expiry first
+    (client.go:130-141 — makeCall refreshes lazily per call, so a token
+    expiring mid-window refreshes between pages) and the fetcher is
+    then called as ``fetcher(start, end, page_token, access_token)``.
+    A login failure (after its retries) fails the window: cursor
+    unchanged, rows re-read next tick.
     """
 
     def __init__(
@@ -329,6 +441,7 @@ class HttpPollerSource:
         page_size: int = 1000,
         now_fn=None,
         epoch: str = "1970-01-01T00:00:00",
+        token_provider: OAuthTokenProvider | None = None,
     ):
         if fetcher is None:
             raise ValueError("fetcher callable is required")
@@ -336,6 +449,7 @@ class HttpPollerSource:
         self.page_size = page_size
         self.now_fn = now_fn
         self.epoch = epoch
+        self.token_provider = token_provider
 
     def read_new(
         self, spark: SparkSession, state: dict | None
@@ -353,7 +467,12 @@ class HttpPollerSource:
         token = None
         try:
             while True:
-                page, token = self.fetcher(start, end, token)
+                if self.token_provider is not None:
+                    # per-call lazy refresh (client.go:130-141)
+                    bearer = self.token_provider.token()
+                    page, token = self.fetcher(start, end, token, bearer)
+                else:
+                    page, token = self.fetcher(start, end, token)
                 # compact like pretty.Ugly (msgraph.go:145-151)
                 items.extend(
                     _json.dumps(it, separators=(",", ":")) if not isinstance(it, str) else it

@@ -282,6 +282,108 @@ def test_http_poller_source_failed_window_keeps_cursor(spark):
     assert state == {"last_ts": "2024-05-01T00:00:00"}
 
 
+def test_oauth_token_provider_lifecycle():
+    """client.go:41-55,89-141 semantics: first use logs in (expiry is
+    seeded to now), a live token is reused without a login, an expired
+    token triggers exactly one refresh, garbled expires_in falls back
+    to 29 minutes, and login retries up to 3 extra attempts."""
+    from collector_spark.sources.sources import OAuthTokenProvider
+
+    clock = {"t": 1000.0}
+    logins = []
+
+    def login():
+        logins.append(clock["t"])
+        return {"access_token": f"tok{len(logins)}", "expires_in": "60"}
+
+    p = OAuthTokenProvider(login, now_fn=lambda: clock["t"])
+    assert p.token() == "tok1" and len(logins) == 1
+    clock["t"] += 59
+    assert p.token() == "tok1" and len(logins) == 1  # still live: no login
+    clock["t"] += 1  # exactly at expiry → refresh
+    assert p.token() == "tok2" and len(logins) == 2
+
+    # garbled expires_in → 29-minute fallback (client.go:120-125)
+    p2 = OAuthTokenProvider(
+        lambda: {"access_token": "x", "expires_in": "soon"},
+        now_fn=lambda: clock["t"],
+    )
+    assert p2.token() == "x"
+    assert p2._expires == clock["t"] + 29 * 60
+
+    # transient login failures are retried (resty SetRetryCount(3))
+    attempts = []
+
+    def flaky_login():
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise ConnectionError("boom")
+        return {"access_token": "ok", "expires_in": 10}
+
+    p3 = OAuthTokenProvider(flaky_login, now_fn=lambda: clock["t"])
+    assert p3.token() == "ok" and len(attempts) == 3
+
+    # persistent failure propagates after 1+retries attempts
+    import pytest as _pytest
+
+    bad_attempts = []
+
+    def dead_login():
+        bad_attempts.append(1)
+        raise ConnectionError("still down")
+
+    p4 = OAuthTokenProvider(dead_login, now_fn=lambda: clock["t"])
+    with _pytest.raises(ConnectionError):
+        p4.token()
+    assert len(bad_attempts) == 4
+
+
+def test_http_poller_refreshes_expired_token_and_fails_window_on_dead_login(spark):
+    """Poller + token lifecycle end-to-end: expired token → one refresh
+    between pages; the cursor still advances only on full-window
+    success, and a dead login fails the window with the cursor kept."""
+    from collector_spark.sources.sources import HttpPollerSource, OAuthTokenProvider
+
+    clock = {"t": 0.0}
+    logins = []
+
+    def login():
+        logins.append(1)
+        return {"access_token": f"tok{len(logins)}", "expires_in": 100}
+
+    provider = OAuthTokenProvider(login, now_fn=lambda: clock["t"])
+    seen_bearers = []
+
+    def fetcher(start, end, token, bearer):
+        seen_bearers.append(bearer)
+        clock["t"] += 150  # token expires between pages
+        if token is None:
+            return [{"id": 1}], "page2"
+        return [{"id": 2}], None
+
+    src = HttpPollerSource(
+        fetcher, now_fn=lambda: "2024-06-01T00:00:00", token_provider=provider
+    )
+    df, state = src.read_new(spark, None)
+    assert df.count() == 2
+    assert state == {"last_ts": "2024-06-01T00:00:00"}
+    assert seen_bearers == ["tok1", "tok2"]  # page 2 used the refreshed token
+    assert len(logins) == 2
+
+    # dead login → whole window fails, cursor unchanged
+    def dead_login():
+        raise ConnectionError("auth down")
+
+    src2 = HttpPollerSource(
+        lambda s, e, t, b: ([{"id": 9}], None),
+        now_fn=lambda: "2024-06-02T00:00:00",
+        token_provider=OAuthTokenProvider(dead_login, now_fn=lambda: 0.0),
+    )
+    df2, state2 = src2.read_new(spark, {"last_ts": "2024-06-01T00:00:00"})
+    assert df2.count() == 0
+    assert state2 == {"last_ts": "2024-06-01T00:00:00"}
+
+
 def test_queue_poller_source_drains_and_drops_empty(spark):
     from collector_spark.sources.sources import QueuePollerSource
 
