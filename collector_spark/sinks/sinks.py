@@ -183,6 +183,7 @@ class KafkaSink:
         value_col: str = "value",
         auth_config: dict | None = None,
         security_protocol: str = "SASL_SSL",
+        fmt: str = "kafka",
         **_,
     ):
         from collector_spark.sources.kafka_auth import kafka_auth_options
@@ -190,6 +191,9 @@ class KafkaSink:
         self.brokers = brokers
         self.topic = topic
         self.value_col = value_col
+        # wire-format seam: 'kafka' in production, the in-process fake
+        # broker data source (tests/fake_kafka.py) in offline e2e tests
+        self.fmt = fmt
         self.auth_options = kafka_auth_options(auth_config, security_protocol)
 
     def writer_options(self) -> dict[str, str]:
@@ -203,7 +207,11 @@ class KafkaSink:
         out = df.select(F.col(self.value_col).cast("string").alias("value"))
         out, obs = _observe_lines(out)
         out = out.filter(_non_empty())  # kafka.go:86-90
-        out.write.format("kafka").options(**self.writer_options()).save()
+        # append: producing is inherently append-only (the real kafka
+        # connector ignores the mode; Python Data Sources require it)
+        out.write.format(self.fmt).mode("append").options(
+            **self.writer_options()
+        ).save()
         self.last_metrics = {k: int(v) for k, v in obs.get.items()}
         return self.last_metrics["written"]
 

@@ -115,6 +115,9 @@ _KAFKA_COMMON = {
     "topic": spec(str, required=True),
     "auth_config": spec(dict),
     "security_protocol": spec(str),
+    # wire-format seam: 'kafka' (default) or a registered Python Data
+    # Source name (the in-process fake broker in offline e2e tests)
+    "fmt": spec(str),
 }
 
 SOURCE_SCHEMAS: dict[str, dict[str, Spec]] = {
