@@ -38,8 +38,52 @@ def build_zip(out: str = "dist/collector_spark.zip") -> str:
     return out
 
 
+def version_info(machine: bool = False) -> str:
+    """Version + environment info (the reference's `collector version`,
+    cmd/version.go:13-28; -m/--machine mirrors its JSON mode,
+    version.go:38-51)."""
+    import json
+    import platform
+    import subprocess
+
+    import pyspark
+
+    import collector_spark
+
+    root = os.path.dirname(os.path.abspath(__file__))
+
+    def _git(*args: str) -> str:
+        try:
+            return subprocess.run(
+                ["git", *args], cwd=root, capture_output=True, text=True, timeout=5
+            ).stdout.strip() or "unknown"
+        except Exception:
+            return "unknown"
+
+    info = {
+        "version": collector_spark.__version__,
+        "branch": _git("rev-parse", "--abbrev-ref", "HEAD"),
+        "commit": _git("rev-parse", "--short", "HEAD"),
+        "python": platform.python_version(),
+        "pyspark": pyspark.__version__,
+    }
+    if machine:
+        return json.dumps(info)
+    lines = [f"collector_spark - version {info['version']}"]
+    lines += [f"  {k}: {v}" for k, v in info.items() if k != "version"]
+    return "\n".join(lines)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--version", "-V", action="store_true",
+        help="print version and environment info (cmd/version.go)",
+    )
+    ap.add_argument(
+        "--machine", "-m", action="store_true",
+        help="with --version: machine-readable JSON (version.go:38-51)",
+    )
     ap.add_argument("--package", action="store_true", help="build the --py-files zip and exit")
     ap.add_argument("--config-dir", help="directory of .conf instance files")
     ap.add_argument("--state-dir", default="state")
@@ -63,6 +107,10 @@ def main() -> None:
              "'raise' aborts the loop",
     )
     args = ap.parse_args()
+
+    if args.version:
+        print(version_info(machine=args.machine))
+        return
 
     if args.package:
         print(build_zip())
