@@ -325,6 +325,21 @@ def main() -> None:
             "post_sec": bus_post,
         },
     }
+    # sf1 spot-bench (round-4 VERDICT #8): RECORDED artifact, not re-run
+    # per bench invocation (the 10x corpus sweep is its own ~4-minute
+    # job — tools/upsample_sf.py + tools/spot_bench_sf1.py to refresh).
+    # Embedded verbatim with provenance so BENCH_r{N}.json carries the
+    # linear-scaling evidence next to the sf0.1 numbers.
+    sf1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "spot_sf1_r5.json")
+    if os.path.exists(sf1_path):
+        with open(sf1_path) as f:
+            out["sf1_spot"] = {
+                "source": "BENCH/spot_sf1_r5.json (recorded round-5 run; "
+                          "per_row_ratio = sf1_sec / (10 * sf01_sec), "
+                          "linear == ~1.0, bar <= 1.5)",
+                **json.load(f),
+            }
     # window-normalized seconds (round-3 VERDICT #5): raw × (reference
     # calibration / this window's calibration), so artifacts taken in
     # degraded host windows are directly comparable to the idle-window
