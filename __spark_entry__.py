@@ -2484,6 +2484,53 @@ FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
 """
 
 
+def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry rate anomaly: per-event-type hourly counts z-scored
+    against that type's own hourly distribution (the alerting query a
+    log pipeline runs over its routed stream). Two aggregation
+    shuffles — hourly buckets, then per-type moments — and the tiny
+    per-type stats table broadcasts back onto the buckets; no window
+    over the full stream. stddev_samp of a single-bucket type is NULL
+    and the s > 0 guard drops it on both engines (keeps the division
+    ANSI-safe too)."""
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("cnt").alias("_m"), F.stddev_samp("cnt").alias("_s")
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.col("_s") > 0)
+        .select(
+            "event_type",
+            "hour_ts",
+            "cnt",
+            F.round((F.col("cnt") - F.col("_m")) / F.col("_s"), 4).alias("z"),
+        )
+    )
+
+
+_SQL_EVENT_ANOMALY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, AVG(cnt) AS m, STDDEV_SAMP(cnt) AS s
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hour_ts, h.cnt, ROUND((h.cnt - m) / s, 4) AS z
+FROM hourly h JOIN stats USING (event_type)
+WHERE s > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2625,6 +2672,43 @@ SELECT toks.doc_id,
          AS nll
 FROM toks JOIN vocab USING (tok) CROSS JOIN totals
 GROUP BY toks.doc_id
+"""
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram LM quality proxy (curation.bigram_logprob):
+    the next rung up from the unigram proxy — repetitive/templated text
+    scores low even when its unigram profile is ordinary."""
+    from collector_spark.operators.curation import bigram_logprob
+
+    return bigram_logprob(_documents(spark, sf_dir))
+
+
+# DuckDB zips parallel unnest() calls positionally (Postgres semantics),
+# so the bigram pair stream is two aligned array slices — the same
+# in-row construction the Spark side does with slice + zip_with.
+_SQL_BIGRAM = f"""
+WITH words AS (
+  SELECT doc_id, {_DUCK_TOKS} AS w FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(w[1:len(w) - 1]) AS w1,
+         unnest(w[2:len(w)]) AS w2
+  FROM words WHERE len(w) >= 2
+),
+cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw FROM cb GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
+)
+SELECT bi.doc_id,
+       CAST(COUNT(*) AS INT) AS n_bigrams,
+       ROUND(AVG(-LN(CAST(cb + 1 AS DOUBLE) / CAST(cw + v AS DOUBLE))), 6)
+         AS nll
+FROM bi JOIN cb USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+GROUP BY bi.doc_id
 """
 
 _BUDGET_TOKENS = 8000
@@ -2772,6 +2856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         # --- new round 5 (never driver-verified) ---
+        "bigram_logprob": q_bigram_logprob,
+        "event_rate_anomaly": q_event_rate_anomaly,
         # --- driver-verified green in CORRECTNESS_r04 (50/50) ---
         "dup_span_profile": q_dup_span_profile,
         "dedup_span_removal": q_dedup_span_removal,
@@ -2908,6 +2994,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_bins": _SQL_PACK,
         "stratified_sample_counts": _sql_stratified(),
         "unigram_logprob": _SQL_UNIGRAM,
+        "bigram_logprob": _SQL_BIGRAM,
+        "event_rate_anomaly": _SQL_EVENT_ANOMALY,
         "token_budget_select": _sql_token_budget(),
         "corpus_shuffle_order": _SQL_CORPUS_SHUFFLE,
         "source_mix_weights": _sql_mix_weights(),

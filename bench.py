@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "profile_columns",
     "funnel_conversion",
     "retention_cohorts",
+    "bigram_logprob",
+    "event_rate_anomaly",
 ]
 
 

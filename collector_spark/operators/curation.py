@@ -101,6 +101,73 @@ def unigram_logprob(
     ).select(F.col("_id").alias(id_col), "n_tokens", "nll")
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-probability (nats) under the
+    corpus's Laplace-smoothed CONDITIONAL bigram model — the next rung
+    up from ``unigram_logprob`` on the CCNet quality-proxy ladder
+    (repetitive or templated text scores low; token-soup scores high
+    even when its unigrams are ordinary).
+
+    p(w2 | w1) = (c(w1,w2) + 1) / (c(w1,·) + V) with V = distinct
+    unigram tokens over the corpus and c(w1,·) summed over observed
+    bigrams. Returns (id, n_bigrams, nll) for documents with ≥2
+    tokens; ``nll`` rounded to 6 decimals (sum-order-proof equality).
+
+    Scale shape: bigram pairs are built INSIDE the row via slice +
+    zip_with on the projected token array (no positional self-join —
+    at 100 TB a join on (doc, pos) would shuffle the whole corpus
+    twice). Two aggregation shuffles (bigram counts; per-doc mean) plus
+    one join of pairs→counts; context totals derive from the bigram
+    count table (rows = distinct bigrams, far smaller than the pair
+    stream), and the V scalar rides a 1-row broadcast.
+    """
+    d = (
+        df.select(F.col(id_col).alias("_id"), _words(text_col).alias("_w"))
+        .withColumn("_n", F.size("_w"))
+        .filter(F.col("_n") >= 2)
+    )
+    pairs = d.select(
+        "_id",
+        F.explode(
+            F.zip_with(
+                F.slice("_w", 1, F.col("_n") - 1),
+                F.slice("_w", 2, F.col("_n") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_b"),
+    ).select("_id", F.col("_b.w1").alias("_w1"), F.col("_b.w2").alias("_w2"))
+
+    cb = pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_cb"))
+    ctx = cb.groupBy("_w1").agg(F.sum("_cb").alias("_cw"))
+    vocab = df.select(F.explode(_words(text_col)).alias("_t")).agg(
+        F.count_distinct("_t").alias("_V")
+    )
+    scored = (
+        pairs.join(cb, ["_w1", "_w2"])
+        .join(ctx, "_w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_nlp",
+            -F.log(
+                (F.col("_cb") + F.lit(1)).cast("double")
+                / (F.col("_cw") + F.col("_V")).cast("double")
+            ),
+        )
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.round(F.avg("_nlp"), 6).alias("nll"),
+        )
+        .select(F.col("_id").alias(id_col), "n_bigrams", "nll")
+    )
+
+
 def token_budget_select(
     df: DataFrame,
     budget: int,

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from collector_spark.operators.curation import (
+    bigram_logprob,
     deterministic_shuffle,
     source_mix_weights,
     token_budget_select,
@@ -46,6 +47,41 @@ def _py_unigram(rows):
 def test_unigram_logprob_matches_python_model(docs):
     got = {r.doc_id: (r.n_tokens, r.nll) for r in unigram_logprob(docs).collect()}
     assert got == _py_unigram(DOCS)
+
+
+def _py_bigram(rows):
+    toks = {i: t.split() for i, t, _ in rows}
+    vocab = {w for ws in toks.values() for w in ws}
+    cb, cw = {}, {}
+    for ws in toks.values():
+        for a, b in zip(ws, ws[1:]):
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+            cw[a] = cw.get(a, 0) + 1
+    out = {}
+    for i, ws in toks.items():
+        if len(ws) < 2:
+            continue
+        nlps = [
+            -math.log((cb[(a, b)] + 1) / (cw[a] + len(vocab)))
+            for a, b in zip(ws, ws[1:])
+        ]
+        out[i] = (len(ws) - 1, round(sum(nlps) / len(nlps), 6))
+    return out
+
+
+def test_bigram_logprob_matches_python_model(docs):
+    got = {r.doc_id: (r.n_bigrams, r.nll) for r in bigram_logprob(docs).collect()}
+    assert got == _py_bigram(DOCS)
+
+
+def test_bigram_logprob_skips_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "solo", "a"), (2, "", "a"), (3, "two words", "a")],
+        "doc_id long, text string, source string",
+    )
+    got = bigram_logprob(df).collect()
+    assert {r.doc_id for r in got} == {3}
+    assert got[0].n_bigrams == 1
 
 
 def test_unigram_logprob_rare_tokens_score_higher(docs):
