@@ -2172,6 +2172,61 @@ WHERE d.source NOT IN ({srcs})
 """
 
 
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-Bloom decontamination screen (corpus.bloom_contamination):
+    the zero-train-shuffle scale path next to contamination_check — the
+    benchmark 8-grams fold into a broadcast 2^16-bit bitmap and the
+    training side is map-only. Flagged = Bloom-positive (hits + the
+    filter's deterministic false positives, replayed exactly by the
+    oracle)."""
+    from collector_spark.operators.corpus import bloom_contamination
+
+    docs = _documents(spark, sf_dir)
+    bench = docs.filter(F.col("source").isin(*_BENCH_SOURCES))
+    train = docs.filter(~F.col("source").isin(*_BENCH_SOURCES))
+    return bloom_contamination(train, bench, n=8, k=4)
+
+
+def _sql_bloom_contamination() -> str:
+    srcs = ", ".join(f"'{s}'" for s in _BENCH_SOURCES)
+    probe = lambda j: (  # noqa: E731 — j-th 16-bit md5 slice as BIGINT
+        f"CAST(CAST(('0x'||substr(h, {1 + 4 * j}, 4)) AS UBIGINT) AS BIGINT)"
+    )
+    probes = ", ".join(f"{probe(j)} AS p{j}" for j in range(4))
+    tests = " AND ".join(
+        f"COALESCE((b{j}.b & (CAST(1 AS BIGINT) << CAST(p{j} % 32 AS INT)))"
+        f" <> 0, FALSE)"
+        for j in range(4)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN bits b{j} ON b{j}.w = p{j} // 32" for j in range(4)
+    )
+    return f"""
+WITH grams AS ({_duck_ngrams(8)}),
+bench AS (SELECT DISTINCT md5(g) AS h FROM grams WHERE source IN ({srcs})),
+pos AS (SELECT unnest([{", ".join(probe(j) for j in range(4))}]) AS p FROM bench),
+bits AS (SELECT p // 32 AS w,
+                BIT_OR(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS b
+         FROM pos GROUP BY 1),
+train AS (SELECT DISTINCT doc_id, md5(g) AS h
+          FROM grams WHERE source NOT IN ({srcs})),
+pr AS (SELECT doc_id, {probes} FROM train),
+fl AS (SELECT pr.doc_id, {tests} AS f
+       FROM pr
+{joins}),
+agg AS (SELECT doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN f THEN 1 ELSE 0 END) AS flagged_grams
+        FROM fl GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(flagged_grams, 0) AS BIGINT) AS flagged_grams,
+       ROUND(COALESCE(flagged_grams / CAST(n_grams AS DOUBLE), 0.0), 6)
+         AS flagged_ratio
+FROM documents d LEFT JOIN agg USING (doc_id)
+WHERE d.source NOT IN ({srcs})
+"""
+
+
 def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-duplication profile: per document, the share of its
     distinct 5-grams occurring in at least one OTHER document (document
@@ -2858,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round 5 (never driver-verified) ---
         "bigram_logprob": q_bigram_logprob,
         "event_rate_anomaly": q_event_rate_anomaly,
+        "bloom_contamination": q_bloom_contamination,
         # --- driver-verified green in CORRECTNESS_r04 (50/50) ---
         "dup_span_profile": q_dup_span_profile,
         "dedup_span_removal": q_dedup_span_removal,
@@ -2996,6 +3052,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _SQL_UNIGRAM,
         "bigram_logprob": _SQL_BIGRAM,
         "event_rate_anomaly": _SQL_EVENT_ANOMALY,
+        "bloom_contamination": _sql_bloom_contamination(),
         "token_budget_select": _sql_token_budget(),
         "corpus_shuffle_order": _SQL_CORPUS_SHUFFLE,
         "source_mix_weights": _sql_mix_weights(),

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "bigram_logprob",
     "event_rate_anomaly",
+    "bloom_contamination",
 ]
 
 

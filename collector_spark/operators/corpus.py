@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "word_ngrams_exploded",
     "contamination_profile",
+    "bloom_contamination",
     "dup_span_profile",
     "remove_duplicated_spans",
     "repetition_profile",
@@ -156,6 +157,94 @@ def contamination_profile(
                 6,
             ).alias("contamination_ratio"),
         )
+    )
+
+
+def bloom_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Broadcast-Bloom decontamination — the 100 TB path next to
+    :func:`contamination_profile`.
+
+    The exact variant joins every training gram against the distinct
+    benchmark gram table: one gram-keyed shuffle of the ENTIRE training
+    corpus. At 100 TB that shuffle dominates the job, while the
+    benchmark side (an eval set) is small and static. This variant
+    folds the benchmark grams into a Bloom bitmap (2^16 bits as 2,048
+    32-bit words in BIGINT rows) and broadcasts it: the training side
+    becomes map-only — k broadcast hash joins against the tiny bitmap
+    table, ZERO shuffle of training grams; only the per-document
+    (id, counts) aggregation exchanges rows.
+
+    Deterministic and oracle-replayable: probe j is the j-th 16-bit
+    slice of md5(gram) (hex chars 4j+1..4j+4), so DuckDB rebuilds the
+    exact same filter — including its false positives — from the same
+    SQL. A gram is ``flagged`` iff all k probe bits are set; expected
+    FP rate at |bench grams| = B is (1 - e^{-kB/65536})^k (callers
+    route flagged docs to the exact checker, never drop on the Bloom
+    bit alone). Returns (id, n_grams, flagged_grams, flagged_ratio);
+    docs shorter than ``n`` words report 0 grams, ratio 0.0.
+    """
+    if not 1 <= k <= 8:
+        raise ValueError("k must be in 1..8 (md5 yields eight 16-bit slices)")
+
+    def _probe(h: Column, j: int) -> Column:
+        return F.conv(F.substring(h, 1 + 4 * j, 4), 16, 10).cast("long")
+
+    # F.shiftleft takes a literal numBits, so the variable-shift masks go
+    # through expr() over a NAMED position column
+    _mask = "shiftleft(CAST(1 AS BIGINT), CAST({p} % 32 AS INT))"
+
+    bench_h = word_ngrams_exploded(
+        benchmark, n, text_col, id_col, distinct=True
+    ).select(F.md5("_gram").alias("_h"))
+    # bit_or is idempotent, so no distinct pass on positions is needed
+    bits = (
+        bench_h.select(
+            F.explode(F.array(*[_probe(F.col("_h"), j) for j in range(k)])).alias("_p")
+        )
+        .groupBy(F.shiftright(F.col("_p"), 5).alias("_w"))
+        .agg(F.bit_or(F.expr(_mask.format(p="_p"))).alias("_b"))
+    )
+
+    cur = word_ngrams_exploded(train, n, text_col, id_col, distinct=True).select(
+        "_id", F.md5("_gram").alias("_h")
+    )
+    for j in range(k):
+        cur = cur.withColumn(f"_p{j}", _probe(F.col("_h"), j))
+    flagged = F.lit(True)
+    for j in range(k):
+        bj = bits.select(F.col("_w").alias(f"_w{j}"), F.col("_b").alias(f"_b{j}"))
+        cur = cur.join(
+            F.broadcast(bj),
+            F.shiftright(F.col(f"_p{j}"), 5) == F.col(f"_w{j}"),
+            "left",
+        )
+        mask = F.expr(_mask.format(p=f"_p{j}"))
+        flagged = flagged & F.coalesce(
+            F.col(f"_b{j}").bitwiseAND(mask) != 0, F.lit(False)
+        )
+    agg = cur.select("_id", flagged.alias("_f")).groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("_f").cast("long")).alias("flagged_grams"),
+    )
+    ids = train.select(F.col(id_col).alias("_id"))
+    return ids.join(agg, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("flagged_grams", F.lit(0)).cast("long").alias("flagged_grams"),
+        F.round(
+            F.coalesce(
+                F.col("flagged_grams") / F.col("n_grams").cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("flagged_ratio"),
     )
 
 

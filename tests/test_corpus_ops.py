@@ -68,6 +68,52 @@ def test_contamination_planted_overlap(spark):
     }
 
 
+def test_bloom_contamination_no_false_negatives(spark):
+    # Bloom flags must be a SUPERSET of exact hits (no false negatives,
+    # ever) and the planted overlaps must all flag; with a near-empty
+    # filter (few benchmark grams vs 2^16 bits) false positives should
+    # not appear on this tiny corpus either.
+    from collector_spark.operators.corpus import bloom_contamination
+
+    train = _docs(
+        spark,
+        [
+            (1, "the quick fox"),
+            (2, "lazy dog sleeps here"),
+            (3, "totally clean document text"),
+            (4, "hi"),
+        ],
+    )
+    bench = _docs(spark, [(100, "the quick fox jumps"), (101, "dog sleeps here now")])
+    exact = {
+        r.doc_id: r.hit_grams
+        for r in contamination_profile(train, bench, n=3).collect()
+    }
+    got = {
+        r.doc_id: (r.n_grams, r.flagged_grams, r.flagged_ratio)
+        for r in bloom_contamination(train, bench, n=3).collect()
+    }
+    assert set(got) == set(exact)
+    for doc_id, hits in exact.items():
+        assert got[doc_id][1] >= hits, f"false negative on doc {doc_id}"
+    assert got == {
+        1: (1, 1, 1.0),
+        2: (2, 1, 0.5),
+        3: (2, 0, 0.0),
+        4: (0, 0, 0.0),
+    }
+
+
+def test_bloom_contamination_k_bounds(spark):
+    from collector_spark.operators.corpus import bloom_contamination
+
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        bloom_contamination(df, df, k=0)
+    with pytest.raises(ValueError):
+        bloom_contamination(df, df, k=9)
+
+
 def test_dup_span_planted(spark):
     # docs 1 and 2 share the 2-gram "b c"; doc 3 is disjoint.
     df = _docs(spark, [(1, "a b c"), (2, "b c d"), (3, "x y z")])
