@@ -11,7 +11,14 @@ from collector_spark.plans.inspect import executed_plan
 # intentional cross joins: small broadcast side by construction
 # (brute-force ANN against a tiny query set; 1-row broadcast scalar
 # aggregates in unigram_logprob (T,V) and high_balance_inactive (avg))
-CROSS_JOIN_OK = {"ann_cosine_topk", "unigram_logprob", "high_balance_inactive"}
+# deliberate 1-row/small broadcast scalars (V totals, thresholds, the
+# labeled brute-force ANN baseline) — never data×data cartesians
+CROSS_JOIN_OK = {
+    "ann_cosine_topk",
+    "unigram_logprob",
+    "bigram_logprob",
+    "high_balance_inactive",
+}
 
 QUERIES = entry_mod.queries()
 
