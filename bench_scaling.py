@@ -354,9 +354,9 @@ N -> 4N fleet, shuffle bandwidth scales with machine count.
 Round-5 verify-join rewrite (co-partitioned signature cache +
 shuffle-hash joins, `operators/dedup.py` — plan went from 2 SMJ + 4
 Sort + 6 exchanges to 2 SHJ + 0 Sort + 4 exchanges): raw 8->32 speedup
-moved from the 0.54-1.66x pre-fix band to 1.66x/1.87x/1.37x in the
-three post-fix runs, with dedup/bw 1.482, 1.988 and 1.337 — above the
-bus ceiling every time, i.e. the job now scales better than
+moved from the 0.54-1.66x pre-fix band (last pre-fix run 0.96x) to
+1.37-1.87x across the four post-fix runs, with dedup/bw 1.222-1.988 —
+above the bus ceiling every time, i.e. the job now scales better than
 pure-DRAM-bound work on this box. Pair counts unchanged in all runs.
 
 ## Run history (this host swings 2-4x between windows)
