@@ -32,3 +32,14 @@ def test_no_accidental_cartesian(spark, name):
         return
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a NL join"
+
+
+def test_bloom_contamination_train_side_never_shuffles(spark):
+    # The Bloom screen's scale claim: training grams cross ZERO join
+    # exchanges — every probe join is an explicit broadcast hint, so
+    # this holds at any scale factor regardless of AQE decisions.
+    df = QUERIES["bloom_contamination"](spark, "/root/testdata/sf0.001")
+    plan = executed_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # k=4 probe joins
