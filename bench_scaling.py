@@ -355,7 +355,7 @@ Round-5 verify-join rewrite (co-partitioned signature cache +
 shuffle-hash joins, `operators/dedup.py` — plan went from 2 SMJ + 4
 Sort + 6 exchanges to 2 SHJ + 0 Sort + 4 exchanges): raw 8->32 speedup
 moved from the 0.54-1.66x pre-fix band (last pre-fix run 0.96x) to
-1.31-1.87x across the five post-fix runs, with dedup/bw 1.222-1.988 —
+1.31-1.87x across the six post-fix runs, with dedup/bw 1.18-1.99 —
 above the bus ceiling every time, i.e. the job now scales better than
 pure-DRAM-bound work on this box. Pair counts unchanged in all runs.
 
